@@ -1,0 +1,277 @@
+"""Device geometry kernels (JAX/XLA): the TPU-native featurization engine.
+
+Replaces the per-frame serial C++ loop of the PLUMED driver
+(cf. reference modules/plumed/cli.py:85-163 and SURVEY §2.4) with batched
+on-device compute: a chunk of frames (C, A, 3) in Angstroms enters HBM once
+and every feature of every frame is evaluated in one jitted call.
+
+Unit conventions match PLUMED colvars output: distances and coordinates in
+nm, dihedral angles in radians (IUPAC sign).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ANGSTROM_TO_NM = 0.1
+
+
+# ---------------------------------------------------------------------------
+# Elementary geometry (all vectorized over leading frame axes)
+# ---------------------------------------------------------------------------
+
+def pair_distances(coords: jnp.ndarray, pairs: jnp.ndarray) -> jnp.ndarray:
+    """Distances between atom pairs. coords (..., A, 3) Angstrom -> (..., P) nm."""
+    pa = jnp.take(coords, pairs[:, 0], axis=-2)
+    pb = jnp.take(coords, pairs[:, 1], axis=-2)
+    diff = pa - pb
+    return jnp.sqrt(jnp.sum(diff * diff, axis=-1)) * ANGSTROM_TO_NM
+
+
+def dihedral_angles(coords: jnp.ndarray, quads: jnp.ndarray) -> jnp.ndarray:
+    """Dihedral angles over atom quadruplets (praxeolitic formula, IUPAC sign).
+
+    coords (..., A, 3); quads (Q, 4) -> (..., Q) radians in (-pi, pi].
+    """
+    p0 = jnp.take(coords, quads[:, 0], axis=-2)
+    p1 = jnp.take(coords, quads[:, 1], axis=-2)
+    p2 = jnp.take(coords, quads[:, 2], axis=-2)
+    p3 = jnp.take(coords, quads[:, 3], axis=-2)
+
+    b0 = p0 - p1
+    b1 = p2 - p1
+    b2 = p3 - p2
+
+    b1n = b1 / jnp.linalg.norm(b1, axis=-1, keepdims=True)
+    # Components perpendicular to b1
+    v = b0 - jnp.sum(b0 * b1n, axis=-1, keepdims=True) * b1n
+    w = b2 - jnp.sum(b2 * b1n, axis=-1, keepdims=True) * b1n
+    x = jnp.sum(v * w, axis=-1)
+    y = jnp.sum(jnp.cross(b1n, v) * w, axis=-1)
+    return jnp.arctan2(y, x)
+
+
+def group_centers(
+    coords: jnp.ndarray, center_atoms: jnp.ndarray, center_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Geometric centers of padded atom groups.
+
+    coords (..., A, 3), center_atoms (G, K), center_mask (G, K)
+    -> (..., G, 3) Angstrom.
+    """
+    gathered = jnp.take(coords, center_atoms.reshape(-1), axis=-2)
+    gathered = gathered.reshape(coords.shape[:-2] + center_atoms.shape + (3,))
+    w = center_mask[..., None]
+    return jnp.sum(gathered * w, axis=-2) / jnp.maximum(
+        jnp.sum(w, axis=-2), 1e-12
+    )
+
+
+# ---------------------------------------------------------------------------
+# Optimal rotation (Kabsch) — replaces PLUMED FIT_TO_TEMPLATE / MDAnalysis align
+# ---------------------------------------------------------------------------
+
+def kabsch_rotation(
+    mobile: jnp.ndarray, reference: jnp.ndarray, weights: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Optimal rotation matrix (proper, det=+1) aligning mobile onto reference.
+
+    mobile/reference: (..., N, 3) already in the same unit.
+    Returns (R, mobile_centroid, reference_centroid) where aligned =
+    (mobile - mc) @ R^T + rc. Weighted Kabsch via SVD.
+    """
+    if weights is None:
+        w = jnp.ones(mobile.shape[-2], mobile.dtype)
+    else:
+        w = weights
+    w = w / jnp.sum(w)
+    wcol = w[..., :, None]
+    mc = jnp.sum(mobile * wcol, axis=-2, keepdims=True)
+    rc = jnp.sum(reference * wcol, axis=-2, keepdims=True)
+    X = (mobile - mc) * wcol
+    Y = reference - rc
+    # Covariance (3x3): H = X^T Y
+    H = jnp.swapaxes(X, -1, -2) @ Y
+    U, _, Vt = jnp.linalg.svd(H, full_matrices=False)
+    det = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
+    D = jnp.stack(
+        [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
+    )
+    R = jnp.swapaxes(Vt, -1, -2) * D[..., None, :] @ jnp.swapaxes(U, -1, -2)
+    return R, mc, rc
+
+
+def kabsch_align(
+    mobile: jnp.ndarray,
+    reference: jnp.ndarray,
+    align_weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Rigid-align each frame of `mobile` onto `reference` (both Angstroms).
+
+    mobile (..., N, 3), reference (N, 3). Rotation/translation is fit on
+    `align_weights`-weighted atoms and applied to all atoms.
+    """
+    R, mc, rc = kabsch_rotation(mobile, reference, align_weights)
+    return (mobile - mc) @ jnp.swapaxes(R, -1, -2) + rc
+
+
+def rmsd_per_frame(
+    mobile: jnp.ndarray,
+    reference: jnp.ndarray,
+    fit_weights: Optional[jnp.ndarray] = None,
+    rmsd_indices: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Optimal-fit RMSD of each frame vs a reference structure (Angstroms).
+
+    Fitting uses fit_weights; the RMSD is then measured over rmsd_indices
+    (defaults to all atoms) — mirroring the reference's fit/group split
+    (md.py:1397-1454).
+    """
+    aligned = kabsch_align(mobile, reference, fit_weights)
+    if rmsd_indices is not None:
+        aligned = jnp.take(aligned, rmsd_indices, axis=-2)
+        reference = jnp.take(reference, rmsd_indices, axis=-2)
+    diff = aligned - reference
+    return jnp.sqrt(jnp.mean(jnp.sum(diff * diff, axis=-1), axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Feature-plan evaluation
+# ---------------------------------------------------------------------------
+
+def _evaluate_plan_chunk(
+    coords: jnp.ndarray,
+    dist_pairs: jnp.ndarray,
+    dist_center_a: jnp.ndarray,
+    dist_center_b: jnp.ndarray,
+    dihedral_quads: jnp.ndarray,
+    dihedral_mode: jnp.ndarray,
+    coord_atoms: jnp.ndarray,
+    coord_axes: jnp.ndarray,
+    center_atoms: jnp.ndarray,
+    center_mask: jnp.ndarray,
+    dist_out: np.ndarray,
+    dihedral_out: np.ndarray,
+    coord_out: np.ndarray,
+    n_features: int,
+    fit_reference: Optional[jnp.ndarray],
+    fit_weights: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Evaluate every feature for a chunk of frames. coords: (C, A, 3) Angstrom."""
+    C = coords.shape[0]
+    out = jnp.zeros((C, n_features), dtype=coords.dtype)
+
+    if fit_reference is not None:
+        coords = kabsch_align(coords, fit_reference, fit_weights)
+
+    n_dist = dist_pairs.shape[0]
+    if n_dist:
+        pa = jnp.take(coords, dist_pairs[:, 0], axis=-2)
+        pb = jnp.take(coords, dist_pairs[:, 1], axis=-2)
+        if center_atoms.shape[0] and (
+            np.any(np.asarray(dist_center_a) >= 0)
+            or np.any(np.asarray(dist_center_b) >= 0)
+        ):
+            centers = group_centers(coords, center_atoms, center_mask)  # (C, G, 3)
+            ca = jnp.asarray(dist_center_a)
+            cb = jnp.asarray(dist_center_b)
+            pa = jnp.where(
+                (ca >= 0)[None, :, None],
+                jnp.take(centers, jnp.maximum(ca, 0), axis=-2),
+                pa,
+            )
+            pb = jnp.where(
+                (cb >= 0)[None, :, None],
+                jnp.take(centers, jnp.maximum(cb, 0), axis=-2),
+                pb,
+            )
+        diff = pa - pb
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1)) * ANGSTROM_TO_NM
+        out = out.at[:, dist_out].set(d)
+
+    if dihedral_quads.shape[0]:
+        angles = dihedral_angles(coords, dihedral_quads)
+        mode = jnp.asarray(dihedral_mode)
+        values = jnp.where(
+            mode == 0,
+            angles,
+            jnp.where(mode == 1, jnp.sin(angles), jnp.cos(angles)),
+        )
+        out = out.at[:, dihedral_out].set(values)
+
+    if coord_atoms.shape[0]:
+        pos = jnp.take(coords, coord_atoms, axis=-2)  # (C, K, 3)
+        vals = jnp.take_along_axis(
+            pos, jnp.asarray(coord_axes)[None, :, None], axis=-1
+        )[..., 0]
+        out = out.at[:, coord_out].set(vals * ANGSTROM_TO_NM)
+
+    return out
+
+
+class PlanEvaluator:
+    """Jit-compiled evaluator for a FeaturePlan on one topology.
+
+    Build once per (feature list, topology); call on frame chunks. The jitted
+    function is cached across chunks (static shapes -> single XLA program).
+    """
+
+    def __init__(
+        self,
+        plan,
+        fit_reference: Optional[np.ndarray] = None,
+        fit_weights: Optional[np.ndarray] = None,
+        dtype=jnp.float32,
+    ):
+        self.plan = plan
+        self.dtype = dtype
+        self._fit_reference = (
+            jnp.asarray(fit_reference, dtype) if fit_reference is not None else None
+        )
+        self._fit_weights = (
+            jnp.asarray(fit_weights, dtype) if fit_weights is not None else None
+        )
+        self._dist_pairs = jnp.asarray(plan.dist_pairs.reshape(-1, 2))
+        self._dihedral_quads = jnp.asarray(plan.dihedral_quads.reshape(-1, 4))
+        self._coord_atoms = jnp.asarray(plan.coord_atoms)
+        self._coord_axes = jnp.asarray(plan.coord_axes)
+        self._center_atoms = jnp.asarray(plan.center_atoms)
+        self._center_mask = jnp.asarray(plan.center_mask, dtype)
+
+        fn = partial(
+            _evaluate_plan_chunk,
+            dist_center_a=plan.dist_center_a,
+            dist_center_b=plan.dist_center_b,
+            dihedral_mode=plan.dihedral_mode,
+            dist_out=plan.dist_out,
+            dihedral_out=plan.dihedral_out,
+            coord_out=plan.coord_out,
+            n_features=plan.n_features,
+        )
+        self._jitted = jax.jit(
+            lambda coords: fn(
+                coords,
+                dist_pairs=self._dist_pairs,
+                dihedral_quads=self._dihedral_quads,
+                coord_atoms=self._coord_atoms,
+                coord_axes=self._coord_axes,
+                center_atoms=self._center_atoms,
+                center_mask=self._center_mask,
+                fit_reference=self._fit_reference,
+                fit_weights=self._fit_weights,
+            )
+        )
+
+    def __call__(self, coords_chunk: np.ndarray) -> np.ndarray:
+        """(C, A, 3) Angstrom float -> (C, F) feature matrix (nm / radians)."""
+        result = self._jitted(jnp.asarray(coords_chunk, self.dtype))
+        return np.asarray(result)
+
+    def device_fn(self):
+        """The raw jitted device function (for sharded callers)."""
+        return self._jitted

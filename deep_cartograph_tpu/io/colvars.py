@@ -1,0 +1,265 @@
+"""PLUMED COLVARS text-file I/O.
+
+API-compatible with the reference's colvars module
+(deep_cartograph/modules/plumed/colvars.py:17-473): same header convention
+("#! FIELDS ..."), same ps->ns time conversion on read, same
+labels/time/bias/walker column filtering, same cross-topology feature
+translation hooks. Parsing is a single vectorized numpy pass (no per-feature
+file re-reads — see features/filter.py for the vectorized filter built on
+this).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+import sys
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+import pandas as pd
+
+logger = logging.getLogger(__name__)
+
+# Regex used by the reference to drop non-feature columns
+# (cf. reference colvars.py:93, 407).
+NON_FEATURE_REGEX = "^(?!.*labels)^(?!.*time)^(?!.*bias)^(?!.*walker)"
+
+
+def read_column_names(colvars_path: str, features_only: bool = False) -> List[str]:
+    """Column names from the '#! FIELDS' header (cf. reference colvars.py:62-98)."""
+    with open(colvars_path) as fh:
+        first_line = fh.readline()
+    parts = first_line.split()
+    names = parts[2:]
+    if features_only:
+        names = [n for n in names if re.search(NON_FEATURE_REGEX, n)]
+    return names
+
+
+def _load_matrix(colvars_path: str) -> np.ndarray:
+    """Bulk-parse the numeric body of a colvars file as float32."""
+    return np.loadtxt(colvars_path, comments="#", dtype=np.float32, ndmin=2)
+
+
+def read_colvars(colvars_path: str, **kwargs) -> pd.DataFrame:
+    """Whole-file read with ps->ns time conversion (cf. reference colvars.py:17-60)."""
+    names = read_column_names(colvars_path)
+    data = _load_matrix(colvars_path)
+    df = pd.DataFrame(data, columns=names)
+    if "time" in df.columns:
+        df["time"] = df["time"] * 1000 / 1000000
+    return df
+
+
+def read_features_matrix(
+    colvars_path: str,
+    feature_names: Optional[List[str]] = None,
+    start: int = 0,
+    stop: Optional[int] = None,
+    stride: int = 1,
+) -> tuple[np.ndarray, List[str]]:
+    """Vectorized feature-matrix read: returns ((frames, features) float32, names).
+
+    This is the TPU-path entry point — one parse, all features, ready for a
+    single device upload (removes the reference's per-feature re-read loop,
+    filter.py:213-228).
+    """
+    all_names = read_column_names(colvars_path)
+    data = _load_matrix(colvars_path)[start:stop:stride]
+    if feature_names is None:
+        keep = [i for i, n in enumerate(all_names) if re.search(NON_FEATURE_REGEX, n)]
+        names = [all_names[i] for i in keep]
+    else:
+        index = {n: i for i, n in enumerate(all_names)}
+        missing = [n for n in feature_names if n not in index]
+        if missing:
+            raise ValueError(
+                f"Features {missing} not found in colvars file {colvars_path}"
+            )
+        keep = [index[n] for n in feature_names]
+        names = list(feature_names)
+    return data[:, keep], names
+
+
+def read_features(
+    colvars_paths: Union[List[str], str],
+    ref_feature_names: List[str],
+    topology_paths: Union[List[str], None] = None,
+    reference_topology: Union[str, None] = None,
+    stratified_samples: Union[List[int], None] = None,
+) -> pd.DataFrame:
+    """Read feature time series across files with cross-topology translation
+    (cf. reference colvars.py:100-201)."""
+    from deep_cartograph_tpu.features.translator import Translator
+
+    if isinstance(colvars_paths, str):
+        colvars_paths = [colvars_paths]
+    if topology_paths:
+        if not reference_topology:
+            reference_topology = topology_paths[0]
+        if len(colvars_paths) != len(topology_paths):
+            logger.error("Number of topology files does not match colvars files.")
+            sys.exit(1)
+
+    blocks: List[np.ndarray] = []
+    for ci, colvars_path in enumerate(colvars_paths):
+        if not os.path.exists(colvars_path):
+            logger.error("Colvars file not found: %s", colvars_path)
+            sys.exit(1)
+        if topology_paths:
+            selected = Translator(
+                reference_topology, topology_paths[ci], ref_feature_names
+            ).run()
+        else:
+            selected = list(ref_feature_names)
+        for fi, name in enumerate(selected):
+            if name is None:
+                logger.error(
+                    "Feature %s not found in the reference topology.",
+                    ref_feature_names[fi],
+                )
+                sys.exit(1)
+        if stratified_samples is None:
+            mat, _ = read_features_matrix(colvars_path, selected)
+        else:
+            mat, _ = read_features_matrix(colvars_path, selected)
+            # stratified_samples indexes data rows starting at 1 in the
+            # reference (header line counts as row 0) — normalize here.
+            rows = [s - 1 for s in stratified_samples if 1 <= s <= mat.shape[0]]
+            mat = mat[rows]
+        blocks.append(mat)
+    merged = np.concatenate(blocks, axis=0)
+    return pd.DataFrame(merged, columns=ref_feature_names)
+
+
+def check(colvars_path: str) -> None:
+    """Fail-fast validation: exists, non-empty, no NaNs
+    (cf. reference colvars.py:203-231)."""
+    if not os.path.exists(colvars_path):
+        logger.error("COLVARS file not found: %s", colvars_path)
+        sys.exit(1)
+    data = _load_matrix(colvars_path)
+    if data.size == 0:
+        logger.error("COLVARS file is empty: %s", colvars_path)
+        sys.exit(1)
+    if np.isnan(data).any():
+        logger.error("COLVARS file contains NaN values: %s", colvars_path)
+        sys.exit(1)
+
+
+def is_plumed_file(file_path: str) -> bool:
+    """True if file starts with '#! FIELDS' (cf. reference colvars.py:234-252)."""
+    with open(file_path) as fh:
+        first = fh.readline().split()
+    return len(first) >= 2 and first[0] == "#!" and first[1] == "FIELDS"
+
+
+def load_dataframe(
+    file_paths: Union[List[str], str],
+    start: int = 0,
+    stop: Union[int, None] = None,
+    stride: int = 1,
+    **kwargs,
+) -> pd.DataFrame:
+    """Load PLUMED or plain CSV files into one DataFrame
+    (cf. reference colvars.py:254-320)."""
+    if isinstance(file_paths, str):
+        file_paths = [file_paths]
+    dfs = []
+    for path in file_paths:
+        df = read_colvars(path) if is_plumed_file(path) else pd.read_csv(path, **kwargs)
+        dfs.append(df.iloc[start:stop:stride, :])
+    out = pd.concat(dfs)
+    out.reset_index(drop=True, inplace=True)
+    return out
+
+
+def create_dataframe_from_files(
+    colvars_paths: Union[List[str], str],
+    topology_paths: Optional[Union[List[str], str]] = None,
+    reference_topology: Optional[str] = None,
+    features_list: Optional[List[str]] = None,
+    file_label: Optional[str] = None,
+    **kwargs,
+) -> pd.DataFrame:
+    """Multi-file merge with translation + per-file labels
+    (cf. reference colvars.py:322-473)."""
+    from deep_cartograph_tpu.features.translator import Translator
+
+    if isinstance(colvars_paths, str):
+        colvars_paths = [colvars_paths]
+    if isinstance(topology_paths, str):
+        topology_paths = [topology_paths]
+    if topology_paths:
+        if len(colvars_paths) != len(topology_paths):
+            raise TypeError(
+                "topology_paths should be a list of the same length as colvars_paths."
+            )
+        if not reference_topology:
+            reference_topology = topology_paths[0]
+
+    all_dfs: List[pd.DataFrame] = []
+    for fi, path in enumerate(colvars_paths):
+        df = load_dataframe(path, **kwargs)
+        if df.isna().any().any():
+            raise ValueError(f"Clean your data! NaNs found in {path}")
+        df = df.filter(regex=NON_FEATURE_REGEX)
+        if topology_paths:
+            feature_names = list(df.columns)
+            translated = Translator(
+                topology_paths[fi], reference_topology, feature_names
+            ).run()
+            mask = [t is not None for t in translated]
+            new_names = [t for t in translated if t is not None]
+            dropped = len(translated) - sum(mask)
+            if dropped:
+                logger.warning(
+                    "%d features could not be translated from %s to %s and will be dropped.",
+                    dropped,
+                    topology_paths[fi],
+                    reference_topology,
+                )
+            df = df.loc[:, mask]
+            df.columns = new_names
+        if features_list:
+            missing = set(features_list) - set(df.columns)
+            if missing:
+                raise ValueError(f"Features {missing} not found in {path}.")
+            df = df[features_list]
+        if file_label:
+            df[file_label] = fi
+        all_dfs.append(df)
+
+    if not all_dfs:
+        logger.error("No dataframes to concatenate.")
+        return pd.DataFrame()
+    if not features_list:
+        first_cols = all_dfs[0].columns
+        for i, df_i in enumerate(all_dfs[1:], 1):
+            if not df_i.columns.equals(first_cols):
+                logger.error(
+                    "Column names in %s do not match those in %s.",
+                    colvars_paths[i],
+                    colvars_paths[0],
+                )
+                sys.exit(1)
+    out = pd.concat(all_dfs, ignore_index=True)
+    if out.empty:
+        logger.error("The resulting dataframe is empty.")
+        sys.exit(1)
+    return out
+
+
+def write_colvars(
+    path: str,
+    data: np.ndarray,
+    column_names: List[str],
+    fmt: str = "%.4f",
+) -> None:
+    """Write a PLUMED-format colvars file ('#! FIELDS ...' header + rows)."""
+    header = "#! FIELDS " + " ".join(column_names)
+    with open(path, "w") as fh:
+        fh.write(header + "\n")
+        np.savetxt(fh, np.asarray(data), fmt=fmt, delimiter=" ")

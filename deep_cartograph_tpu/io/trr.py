@@ -1,0 +1,128 @@
+"""TRR trajectory codec (GROMACS, XDR big-endian, uncompressed), pure numpy.
+
+TRR stores coordinates in nm; this module converts to/from Angstroms so every
+in-memory coordinate array in the framework is in Angstroms (PDB convention).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional
+
+import numpy as np
+
+_MAGIC = 1993
+_NM_TO_ANGSTROM = 10.0
+
+
+class TRRError(ValueError):
+    pass
+
+
+def _xdr_string(data: bytes, off: int):
+    (n,) = struct.unpack_from(">i", data, off)
+    off += 4
+    # XDR strings in trn files are written as length (incl. NUL) + padded bytes
+    padded = (n + 3) // 4 * 4
+    s = data[off : off + n]
+    return s, off + padded
+
+
+def _read_frame_header(data: bytes, off: int):
+    (magic,) = struct.unpack_from(">i", data, off)
+    if magic != _MAGIC:
+        raise TRRError(f"Bad TRR magic {magic} at offset {off}")
+    off += 4
+    _, off = _xdr_string(data, off)
+    ints = struct.unpack_from(">13i", data, off)
+    off += 13 * 4
+    (
+        ir_size, e_size, box_size, vir_size, pres_size, top_size, sym_size,
+        x_size, v_size, f_size, natoms, step, nre,
+    ) = ints
+    # Floating point width inferred from box/x payload sizes.
+    if box_size:
+        double = box_size == 9 * 8
+    elif x_size:
+        double = x_size == natoms * 3 * 8
+    else:
+        double = False
+    fsize = 8 if double else 4
+    off += 2 * fsize  # t, lambda
+    header = {
+        "box_size": box_size,
+        "vir_size": vir_size,
+        "pres_size": pres_size,
+        "x_size": x_size,
+        "v_size": v_size,
+        "f_size": f_size,
+        "natoms": natoms,
+        "step": step,
+        "double": double,
+        "ir_size": ir_size,
+        "e_size": e_size,
+        "top_size": top_size,
+        "sym_size": sym_size,
+    }
+    return header, off
+
+
+def read_trr(
+    path: str,
+    start: int = 0,
+    stop: Optional[int] = None,
+    stride: int = 1,
+) -> np.ndarray:
+    """Read coordinates as (n_frames, n_atoms, 3) float32 Angstroms."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    frames: List[np.ndarray] = []
+    off = 0
+    idx = 0
+    while off < len(data):
+        header, off = _read_frame_header(data, off)
+        off += header["ir_size"] + header["e_size"]
+        dt = ">f8" if header["double"] else ">f4"
+        off += header["box_size"] + header["vir_size"] + header["pres_size"]
+        natoms = header["natoms"]
+        if header["x_size"]:
+            take = (stop is None or idx < stop) and idx >= start and (idx - start) % stride == 0
+            if take:
+                x = np.frombuffer(data, dtype=dt, count=natoms * 3, offset=off)
+                frames.append(
+                    (x.reshape(natoms, 3) * _NM_TO_ANGSTROM).astype(np.float32)
+                )
+            off += header["x_size"]
+            idx += 1
+        off += header["v_size"] + header["f_size"]
+        if stop is not None and idx >= stop:
+            break
+    if not frames:
+        raise TRRError(f"No coordinate frames found in {path}")
+    return np.stack(frames)
+
+
+def write_trr(path: str, coords: np.ndarray, timestep_ps: float = 1.0) -> None:
+    """Write (n_frames, n_atoms, 3) Angstrom coordinates as single-precision TRR."""
+    coords = np.asarray(coords, dtype=np.float32) / _NM_TO_ANGSTROM
+    n_frames, n_atoms, _ = coords.shape
+    version = b"GMX_trn_file"
+    with open(path, "wb") as fh:
+        for f in range(n_frames):
+            x_bytes = coords[f].astype(">f4").tobytes()
+            fh.write(struct.pack(">i", _MAGIC))
+            # XDR string: length including NUL, padded payload
+            n = len(version) + 1
+            padded = (n + 3) // 4 * 4
+            fh.write(struct.pack(">i", n))
+            fh.write(version.ljust(padded, b"\x00"))
+            fh.write(
+                struct.pack(
+                    ">13i",
+                    0, 0, 0, 0, 0, 0, 0,  # ir,e,box,vir,pres,top,sym sizes
+                    len(x_bytes), 0, 0,   # x,v,f sizes
+                    n_atoms, f, 0,        # natoms, step, nre
+                )
+            )
+            fh.write(struct.pack(">2f", f * timestep_ps, 0.0))  # t, lambda
+            fh.write(x_bytes)

@@ -1,0 +1,107 @@
+"""IO layer tests: PDB parsing, selections, DCD/TRR round-trips, colvars."""
+
+import numpy as np
+import pytest
+
+from deep_cartograph_tpu.io.colvars import (
+    check,
+    read_colvars,
+    read_column_names,
+    read_features_matrix,
+    write_colvars,
+)
+from deep_cartograph_tpu.io.dcd import read_dcd, read_dcd_header, write_dcd
+from deep_cartograph_tpu.io.topology import Topology
+from deep_cartograph_tpu.io.traj import read_traj, write_traj
+from deep_cartograph_tpu.io.trr import read_trr, write_trr
+
+
+def test_pdb_parse_roundtrip(ca_system, tmp_path):
+    top = Topology.from_pdb(ca_system.pdb_path)
+    assert top.n_atoms == ca_system.n_residues
+    assert list(top.names) == ["CA"] * top.n_atoms
+    assert top.resids[0] == 1
+    np.testing.assert_allclose(
+        top.positions, ca_system.coords[0], atol=1e-3
+    )
+    out = tmp_path / "roundtrip.pdb"
+    top.write_pdb(str(out))
+    top2 = Topology.from_pdb(str(out))
+    np.testing.assert_allclose(top2.positions, top.positions, atol=1e-3)
+    assert list(top2.resnames) == list(top.resnames)
+
+
+def test_selections(ca_system):
+    top = Topology.from_pdb(ca_system.pdb_path)
+    assert len(top.select("all")) == top.n_atoms
+    assert len(top.select("name CA")) == top.n_atoms
+    assert len(top.select("name H*")) == 0
+    assert len(top.select("not name H*")) == top.n_atoms
+    assert len(top.select("protein and name CA")) == top.n_atoms
+    assert list(top.select("resid 2:4")) == [1, 2, 3]
+    assert list(top.select("resid 1 3")) == [0, 2]
+    assert len(top.select("resname ALA")) > 0
+    assert list(top.select("(name CA) and (resid 1:2)")) == [0, 1]
+    assert len(top.select("backbone")) == top.n_atoms  # CA is a backbone atom
+    assert len(top.select("sidechain")) == 0
+    assert top.indices_one_based("resid 1") == [1]
+
+
+def test_dcd_roundtrip(tmp_path, rng):
+    coords = rng.standard_normal((17, 9, 3)).astype(np.float32) * 10
+    path = str(tmp_path / "t.dcd")
+    write_dcd(path, coords)
+    n_atoms, n_frames, has_cell, endian, _ = read_dcd_header(path)
+    assert (n_atoms, n_frames, has_cell) == (9, 17, False)
+    back = read_dcd(path)
+    np.testing.assert_allclose(back, coords, atol=1e-6)
+    # strided read
+    strided = read_dcd(path, start=2, stop=11, stride=3)
+    np.testing.assert_allclose(strided, coords[2:11:3], atol=1e-6)
+
+
+def test_trr_roundtrip(tmp_path, rng):
+    coords = rng.standard_normal((5, 7, 3)).astype(np.float32) * 10
+    path = str(tmp_path / "t.trr")
+    write_trr(path, coords)
+    back = read_trr(path)
+    np.testing.assert_allclose(back, coords, atol=1e-4)
+
+
+def test_traj_dispatch(ca_system, tmp_path):
+    coords = read_traj(ca_system.dcd_path, ca_system.pdb_path)
+    np.testing.assert_allclose(coords, ca_system.coords, atol=1e-5)
+    # write/read pdb multi-frame
+    top = Topology.from_pdb(ca_system.pdb_path)
+    pdb_traj = str(tmp_path / "t.pdb")
+    write_traj(pdb_traj, coords[:3], top)
+    back = read_traj(pdb_traj)
+    np.testing.assert_allclose(back, coords[:3], atol=1e-3)
+
+
+def test_colvars_roundtrip(tmp_path):
+    data = np.arange(20, dtype=np.float32).reshape(5, 4)
+    path = str(tmp_path / "colvars.dat")
+    cols = ["time", "dist-@CA_1-@CA_3", "sin-@CA_1-@CA_2-@CA_3-@CA_4", "bias"]
+    write_colvars(path, data, cols)
+    assert read_column_names(path) == cols
+    assert read_column_names(path, features_only=True) == cols[1:3]
+    df = read_colvars(path)
+    assert list(df.columns) == cols
+    # ps -> ns conversion on the time column
+    np.testing.assert_allclose(df["time"].to_numpy(), data[:, 0] / 1000.0)
+    mat, names = read_features_matrix(path)
+    assert names == cols[1:3]
+    np.testing.assert_allclose(mat, data[:, 1:3])
+    # subset + order enforcement
+    mat2, _ = read_features_matrix(path, [cols[2], cols[1]])
+    np.testing.assert_allclose(mat2, data[:, [2, 1]])
+    check(path)
+
+
+def test_colvars_check_rejects_nan(tmp_path):
+    path = str(tmp_path / "bad.dat")
+    data = np.array([[0.0, np.nan]], dtype=np.float32)
+    write_colvars(path, data, ["time", "x"])
+    with pytest.raises(SystemExit):
+        check(path)
