@@ -283,10 +283,9 @@ class TrainColvarsSchema(BaseModel):
     common: CommonCollectiveVariable = CommonCollectiveVariable()
     figures: TrainFigures = TrainFigures()
 
-    class Config:
-        # Allow per-CV override blocks (e.g. a top-level `pca:` key) which are
-        # recursively merged over `common` at run time.
-        extra = "allow"
+    # Allow per-CV override blocks (e.g. a top-level `pca:` key) which are
+    # recursively merged over `common` at run time.
+    model_config = {"extra": "allow"}
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,123 @@
+"""The TPU featurization engine: trajectory -> feature matrix.
+
+This is the replacement for the reference's PLUMED-driver subprocess hot loop
+(deep_cartograph/tools/compute_features/compute_features.py:152-221 +
+modules/plumed/cli.py:85-163): frames are decoded on the host in chunks,
+streamed to device HBM, and every feature of every frame in the chunk is
+evaluated by one jitted XLA program (see geom/kernels.py). Chunks have a
+fixed padded shape so the program compiles exactly once per
+(feature list, topology).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from deep_cartograph_tpu.features.grammar import compile_plan
+from deep_cartograph_tpu.geom.kernels import PlanEvaluator
+from deep_cartograph_tpu.io.topology import Topology
+from deep_cartograph_tpu.io.traj import iter_frame_chunks
+
+logger = logging.getLogger(__name__)
+
+# Soft budget for per-chunk intermediates on device (bytes).
+_CHUNK_BYTE_BUDGET = 1 << 30
+
+
+def auto_chunk_size(requested: int, n_atoms: int, n_features: int) -> int:
+    """Clamp the frame-chunk size so per-chunk intermediates stay in budget."""
+    bytes_per_frame = 4 * (12 * n_atoms + 16 * max(n_features, 1))
+    max_frames = max(64, _CHUNK_BYTE_BUDGET // max(bytes_per_frame, 1))
+    return int(max(1, min(requested, max_frames)))
+
+
+class Featurizer:
+    """Featurization of frame batches for one (feature list, topology) pair."""
+
+    def __init__(
+        self,
+        topology: Topology,
+        features_list: List[str],
+        fit_template: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        dtype=None,
+    ):
+        """fit_template: optional (reference_positions, align_weights) applied
+        before coordinate features (PLUMED FIT_TO_TEMPLATE equivalent)."""
+        import jax.numpy as jnp
+
+        self.topology = topology
+        self.features_list = list(features_list)
+        self.plan = compile_plan(self.features_list, topology)
+        ref, weights = (None, None) if fit_template is None else fit_template
+        if self.plan.needs_fit and ref is None:
+            raise ValueError(
+                "Features contain coordinates but no fit template was provided."
+            )
+        self.evaluator = PlanEvaluator(
+            self.plan,
+            fit_reference=ref if self.plan.needs_fit else None,
+            fit_weights=weights if self.plan.needs_fit else None,
+            dtype=dtype or jnp.float32,
+        )
+
+    def __call__(self, coords: np.ndarray) -> np.ndarray:
+        return self.evaluator(coords)
+
+    def featurize_trajectory(
+        self,
+        trajectory_path: str,
+        traj_stride: int = 1,
+        frame_chunk: int = 2048,
+    ) -> np.ndarray:
+        """Stream a trajectory through the device in fixed-shape chunks.
+
+        Returns the (n_frames, n_features) matrix (nm / radians).
+        """
+        chunk = auto_chunk_size(
+            frame_chunk, self.topology.n_atoms, self.plan.n_features
+        )
+        outputs: List[np.ndarray] = []
+        t0 = time.time()
+        n_frames = 0
+        for block in iter_frame_chunks(
+            trajectory_path, chunk, self.topology.source_path, stride=traj_stride
+        ):
+            n = block.shape[0]
+            n_frames += n
+            if n < chunk:
+                # Pad to the static chunk shape; one XLA program for all chunks.
+                pad = np.repeat(block[-1:], chunk - n, axis=0)
+                block = np.concatenate([block, pad], axis=0)
+            outputs.append(self.evaluator(block)[:n])
+        result = np.concatenate(outputs, axis=0)
+        dt = time.time() - t0
+        logger.info(
+            "Featurized %d frames x %d features in %.2fs (%.0f frames/s)",
+            n_frames,
+            self.plan.n_features,
+            dt,
+            n_frames / max(dt, 1e-9),
+        )
+        return result
+
+
+def featurize_trajectory(
+    trajectory_path: str,
+    topology_path: str,
+    features_list: List[str],
+    traj_stride: int = 1,
+    frame_chunk: int = 2048,
+    fit_template_path: Optional[str] = None,
+) -> np.ndarray:
+    """One-shot helper: decode + featurize a whole trajectory."""
+    topology = Topology.from_file(topology_path)
+    fit_template = None
+    if fit_template_path is not None:
+        template = Topology.from_file(fit_template_path)
+        fit_template = (template.positions, template.occupancies)
+    featurizer = Featurizer(topology, features_list, fit_template)
+    return featurizer.featurize_trajectory(trajectory_path, traj_stride, frame_chunk)
