@@ -1,0 +1,159 @@
+"""Vectorized feature statistics on device.
+
+The reference computes these one feature at a time with per-feature file
+re-reads (deep_cartograph/modules/statistics/statistics.py:382-635 +
+modules/features/filter.py:213-256). Here every descriptor is computed for
+ALL features in a single pass over one (frames, features) device array.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("num_bins",))
+def _entropy_all(features: jnp.ndarray, num_bins: int = 100) -> jnp.ndarray:
+    """Shannon entropy (base 2) of each feature's 100-bin histogram.
+
+    Matches the reference recipe (statistics.py:514-566): density histogram,
+    p = density * bin_width, H = -sum p log2 p.
+    """
+    n, n_feat = features.shape
+    fmin = jnp.min(features, axis=0)
+    fmax = jnp.max(features, axis=0)
+    span = jnp.where(fmax > fmin, fmax - fmin, 1.0)
+    # Bin index per sample per feature, flattened for one scatter-add
+    scaled = (features - fmin) / span * num_bins
+    idx = jnp.clip(scaled.astype(jnp.int32), 0, num_bins - 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n_feat), 1)
+    flat = (col * num_bins + idx).reshape(-1)
+    counts = jnp.zeros(n_feat * num_bins, features.dtype).at[flat].add(1.0)
+    p = counts.reshape(n_feat, num_bins) / n
+    logp = jnp.where(p > 0, jnp.log2(jnp.where(p > 0, p, 1.0)), 0.0)
+    return -jnp.sum(p * logp, axis=1)
+
+
+@jax.jit
+def _std_all(features: jnp.ndarray) -> jnp.ndarray:
+    return jnp.std(features, axis=0)
+
+
+@jax.jit
+def _minmax_all(features: jnp.ndarray):
+    return jnp.min(features, axis=0), jnp.max(features, axis=0)
+
+
+def shannon_entropy(features: np.ndarray, num_bins: int = 100) -> np.ndarray:
+    """Per-feature entropy, rounded to 3 decimals like the reference."""
+    out = np.asarray(_entropy_all(jnp.asarray(features), num_bins))
+    return np.round(out, 3)
+
+
+def standard_deviation(features: np.ndarray) -> np.ndarray:
+    """Per-feature std, rounded to 3 decimals like the reference."""
+    return np.round(np.asarray(_std_all(jnp.asarray(features))), 3)
+
+
+def dip_pvalues(features: np.ndarray) -> np.ndarray:
+    """Hartigan dip-test p-value per feature (host-side order statistics)."""
+    from deep_cartograph_tpu.stats.dip import dip_pvalue
+
+    return np.asarray(
+        [dip_pvalue(features[:, j])[1] for j in range(features.shape[1])]
+    )
+
+
+def min_value_filter(features: np.ndarray, threshold: float) -> List[bool]:
+    """True where a feature's minimum is <= threshold
+    (cf. reference statistics.py:487-511)."""
+    mins = np.asarray(jnp.min(jnp.asarray(features), axis=0))
+    return [bool(v <= threshold) for v in mins]
+
+
+def difference_filter(
+    features: np.ndarray, feature_names: List[str]
+) -> List[bool]:
+    """Per-feature-type variation screen across waypoint samples
+    (cf. reference statistics.py:382-485).
+
+    sin/cos pairs: max angular spread >= pi/8; tor: range >= pi/8;
+    coord triplets: max pairwise 3-D displacement >= 0.2 nm; other: range
+    >= 0.2 nm.
+    """
+    angle_threshold = np.pi / 8
+    distance_threshold = 0.2
+
+    if features.size == 0:
+        return []
+
+    name_to_col = {n: j for j, n in enumerate(feature_names)}
+    result: Dict[str, bool] = {}
+    atoms_touched = set()
+
+    for name in feature_names:
+        parts = name.split("-")
+        if len(parts) <= 1:
+            continue
+        ftype = parts[0]
+        col = features[:, name_to_col[name]]
+
+        if ftype == "sin":
+            cos_name = name.replace("sin", "cos", 1)
+            if cos_name in name_to_col:
+                angles = np.arctan2(col, features[:, name_to_col[cos_name]]) + np.pi
+                delta = np.abs(np.max(angles) - np.min(angles))
+            else:
+                delta = 10.0  # orphan sine: keep (cf. statistics.py:429-431)
+            passed = bool(delta >= angle_threshold)
+            result[name] = passed
+            result[cos_name] = passed
+        elif ftype == "cos":
+            continue  # handled with its sine twin
+        elif ftype == "tor":
+            delta = np.max(col) - np.min(col)
+            result[name] = bool(delta >= angle_threshold)
+        elif ftype == "coord":
+            atom = parts[1].split(".")[0]
+            if atom in atoms_touched:
+                continue
+            atoms_touched.add(atom)
+            xyz = []
+            axis_names = [f"coord-{atom}.{ax}" for ax in ("x", "y", "z")]
+            for an in axis_names:
+                xyz.append(
+                    features[:, name_to_col[an]]
+                    if an in name_to_col
+                    else np.zeros(features.shape[0])
+                )
+            pts = np.stack(xyz, axis=1)
+            diffs = pts[:, None, :] - pts[None, :, :]
+            delta = float(np.sqrt((diffs**2).sum(-1)).max())
+            passed = bool(delta >= distance_threshold)
+            for an in axis_names:
+                if an in name_to_col:
+                    result[an] = passed
+        else:
+            delta = np.abs(np.max(col) - np.min(col))
+            result[name] = bool(delta >= distance_threshold)
+
+    return [result.get(n, True) for n in feature_names]
+
+
+def feature_statistics(features: np.ndarray) -> Dict[str, np.ndarray]:
+    """mean/std/min/max for every feature in one device pass
+    (used by CV normalization; cf. reference cv_calculator.py:294-298)."""
+    arr = jnp.asarray(features)
+    mean = jnp.mean(arr, axis=0)
+    std = jnp.std(arr, axis=0)
+    fmin, fmax = _minmax_all(arr)
+    return {
+        "mean": np.asarray(mean, np.float64),
+        "std": np.asarray(std, np.float64),
+        "min": np.asarray(fmin, np.float64),
+        "max": np.asarray(fmax, np.float64),
+    }

@@ -1,0 +1,112 @@
+"""Stats descriptors + dip test + filter_features tool tests."""
+
+import numpy as np
+import pytest
+
+from deep_cartograph_tpu.io.colvars import write_colvars
+from deep_cartograph_tpu.stats.descriptors import (
+    difference_filter,
+    min_value_filter,
+    shannon_entropy,
+    standard_deviation,
+)
+from deep_cartograph_tpu.stats.dip import dip_pvalue, dip_statistic
+from deep_cartograph_tpu.tools.filter_features import filter_features
+from deep_cartograph_tpu.utils.common import read_features_list
+
+
+def test_entropy_matches_scipy_recipe(rng):
+    from scipy.stats import entropy as scipy_entropy
+
+    data = rng.standard_normal((500, 3)).astype(np.float32)
+    data[:, 1] *= 0.01  # narrow
+    ours = shannon_entropy(data)
+    for j in range(3):
+        hist, edges = np.histogram(data[:, j], bins=100, density=True)
+        p = hist * np.diff(edges)
+        expected = scipy_entropy(p, base=2)
+        assert abs(ours[j] - expected) < 5e-3
+
+
+def test_std_and_minvalue(rng):
+    data = rng.standard_normal((200, 2)).astype(np.float32)
+    data[:, 1] *= 3
+    stds = standard_deviation(data)
+    np.testing.assert_allclose(stds, np.round(data.std(axis=0), 3), atol=2e-3)
+    flags = min_value_filter(data, threshold=float(data[:, 0].min()) + 1e-6)
+    assert flags[0] is True
+
+
+def test_dip_limits():
+    # equally spaced -> minimal dip
+    assert abs(dip_statistic(np.arange(10.0)) - 0.05) < 1e-12
+    # two point masses -> 1/4 - 1/(2n)
+    x = np.concatenate([np.linspace(0, 1e-9, 20), np.linspace(1, 1 + 1e-9, 20)])
+    assert abs(dip_statistic(x) - (0.25 - 1 / 80)) < 1e-6
+
+
+def test_dip_pvalue_discriminates(rng):
+    bimodal = np.concatenate(
+        [rng.standard_normal(300) - 4, rng.standard_normal(300) + 4]
+    )
+    unimodal = rng.standard_normal(600)
+    _, p_bi = dip_pvalue(bimodal)
+    _, p_uni = dip_pvalue(unimodal)
+    assert p_bi < 0.01
+    assert p_uni > p_bi
+
+
+def test_difference_filter_semantics():
+    names = [
+        "dist-@CA_1-@CA_3",
+        "sin-@CA_1-@CA_2-@CA_3-@CA_4",
+        "cos-@CA_1-@CA_2-@CA_3-@CA_4",
+        "tor-@CA_2-@CA_3-@CA_4-@CA_5",
+    ]
+    n = 10
+    data = np.zeros((n, 4), dtype=np.float32)
+    data[:, 0] = np.linspace(0, 1.0, n)        # big distance change -> pass
+    angles_small = np.linspace(0, np.pi / 16, n)  # small angle change -> fail
+    data[:, 1] = np.sin(angles_small)
+    data[:, 2] = np.cos(angles_small)
+    data[:, 3] = np.linspace(0, np.pi, n)      # big torsion change -> pass
+    flags = difference_filter(data, names)
+    assert flags == [True, False, False, True]
+
+
+def test_filter_features_tool(rng, tmp_path, ca_system):
+    # Build a synthetic colvars file: one bimodal feature, one near-constant
+    n = 400
+    bimodal = np.concatenate(
+        [rng.standard_normal(n // 2) * 0.05 + 0.3,
+         rng.standard_normal(n // 2) * 0.05 + 1.2]
+    )
+    unimodal = rng.standard_normal(n).astype(np.float32) * 0.05 + 0.7
+    time_col = np.arange(n, dtype=np.float32)
+    data = np.column_stack([time_col, bimodal, unimodal])
+    colvars_path = str(tmp_path / "colvars.dat")
+    write_colvars(
+        colvars_path, data, ["time", "dist-@CA_1-@CA_5", "dist-@CA_2-@CA_7"]
+    )
+
+    out = filter_features(
+        configuration={
+            "filter_settings": {
+                "diptest_significance_level": 0.05,
+                "entropy_quantile": None,
+                "std_quantile": None,
+            }
+        },
+        colvars_paths=colvars_path,
+        output_folder=str(tmp_path / "filter_out"),
+    )
+    kept = read_features_list(out)
+    assert kept == ["dist-@CA_1-@CA_5"]  # only the bimodal feature survives
+
+    # Restart: calling again reuses the file
+    out2 = filter_features(
+        configuration={"filter_settings": {}},
+        colvars_paths=colvars_path,
+        output_folder=str(tmp_path / "filter_out"),
+    )
+    assert out2 == out
