@@ -1,0 +1,166 @@
+"""Sharded compute paths: frame-axis covariance, lag halo exchange, sharded
+featurization, and data-parallel training steps.
+
+This is the TPU equivalent of a distributed backend (SURVEY §2.5/§5): no
+NCCL/MPI is written — shardings are annotated and XLA emits psum/all-gather
+over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from deep_cartograph_tpu.parallel.mesh import (
+    FRAME_AXIS,
+    frame_sharding,
+    get_mesh,
+    pad_to_multiple,
+)
+
+
+def sharded_covariances(
+    x_t: np.ndarray,
+    x_lag: np.ndarray,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetrized (C0, Ctau) with the frame axis sharded across the mesh.
+
+    Per-shard partial sums are reduced with psum — the covariance is
+    embarrassingly reducible along frames (SURVEY §2.5).
+    """
+    mesh = mesh or get_mesh()
+    n_dev = mesh.devices.size
+    xt, n = pad_to_multiple(np.asarray(x_t, np.float32), n_dev)
+    xl, _ = pad_to_multiple(np.asarray(x_lag, np.float32), n_dev)
+    # zero-weight the padded tail
+    w = np.zeros(xt.shape[0], np.float32)
+    w[:n] = 1.0
+
+    sharding = frame_sharding(mesh)
+    xt_d = jax.device_put(xt, sharding)
+    xl_d = jax.device_put(xl, sharding)
+    w_d = jax.device_put(w, sharding)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS)),
+        out_specs=(P(), P(), P()),
+    )
+    def partial_moments(a, b, wt):
+        wcol = wt[:, None]
+        s_a = jax.lax.psum(jnp.sum(a * wcol, axis=0), FRAME_AXIS)
+        s_b = jax.lax.psum(jnp.sum(b * wcol, axis=0), FRAME_AXIS)
+        count = jax.lax.psum(jnp.sum(wt), FRAME_AXIS)
+        return s_a, s_b, count
+
+    s_a, s_b, count = jax.jit(partial_moments)(xt_d, xl_d, w_d)
+    mu = 0.5 * (s_a + s_b) / count
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS), P()),
+        out_specs=(P(), P()),
+    )
+    def partial_cov(a, b, wt, mean):
+        ac = (a - mean) * wt[:, None]
+        bc = (b - mean) * wt[:, None]
+        c0 = jax.lax.psum(ac.T @ ac + bc.T @ bc, FRAME_AXIS)
+        ctau = jax.lax.psum(ac.T @ bc + bc.T @ ac, FRAME_AXIS)
+        return c0, ctau
+
+    c0, ctau = jax.jit(partial_cov)(xt_d, xl_d, w_d, mu)
+    c0 = 0.5 * np.asarray(c0) / float(count)
+    ctau = 0.5 * np.asarray(ctau) / float(count)
+    return c0, ctau
+
+
+def lag_pairs_with_halo(
+    frames: jnp.ndarray, lag_time: int, mesh: Mesh
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build (x_t, x_lag) across shard boundaries via a halo exchange.
+
+    Each shard sends its first `lag_time` frames to its left neighbor
+    (ppermute), so every shard can pair all of its own frames except the
+    global tail. Output stays frame-sharded; callers mask the final
+    `lag_time` rows of the last shard (returned weights do this).
+    """
+    n_dev = mesh.devices.size
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(FRAME_AXIS),),
+        out_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS)),
+    )
+    def build(local):
+        # halo: first lag rows of the RIGHT neighbor
+        halo = jax.lax.ppermute(
+            local[:lag_time],
+            FRAME_AXIS,
+            perm=[((i + 1) % n_dev, i) for i in range(n_dev)],
+        )
+        extended = jnp.concatenate([local, halo], axis=0)
+        x_t = local
+        x_lag = jax.lax.dynamic_slice_in_dim(extended, lag_time, local.shape[0], 0)
+        # weights: last shard's tail pairs wrap around -> mask them
+        idx = jax.lax.axis_index(FRAME_AXIS)
+        row = jnp.arange(local.shape[0])
+        valid = jnp.where(
+            idx == n_dev - 1, row < local.shape[0] - lag_time, True
+        ).astype(local.dtype)
+        return x_t, x_lag, valid
+
+    return build(frames)
+
+
+def sharded_feature_matrix_stats(
+    features: np.ndarray, mesh: Optional[Mesh] = None
+) -> dict:
+    """mean/std/min/max across a frame-sharded feature matrix (psum/pmax)."""
+    mesh = mesh or get_mesh()
+    n_dev = mesh.devices.size
+    x, n = pad_to_multiple(np.asarray(features, np.float32), n_dev)
+    w = np.zeros(x.shape[0], np.float32)
+    w[:n] = 1.0
+    sharding = frame_sharding(mesh)
+    x_d = jax.device_put(x, sharding)
+    w_d = jax.device_put(w, sharding)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
+        out_specs=(P(), P(), P(), P()),
+    )
+    def stats(xs, wt):
+        wcol = wt[:, None]
+        count = jax.lax.psum(jnp.sum(wt), FRAME_AXIS)
+        s1 = jax.lax.psum(jnp.sum(xs * wcol, axis=0), FRAME_AXIS)
+        s2 = jax.lax.psum(jnp.sum(xs * xs * wcol, axis=0), FRAME_AXIS)
+        big = jnp.float32(3.4e38)
+        xmin = jax.lax.pmin(
+            jnp.min(jnp.where(wcol > 0, xs, big), axis=0), FRAME_AXIS
+        )
+        xmax = jax.lax.pmax(
+            jnp.max(jnp.where(wcol > 0, xs, -big), axis=0), FRAME_AXIS
+        )
+        mean = s1 / count
+        var = jnp.maximum(s2 / count - mean * mean, 0.0)
+        return mean, jnp.sqrt(var), xmin, xmax
+
+    mean, std, xmin, xmax = jax.jit(stats)(x_d, w_d)
+    return {
+        "mean": np.asarray(mean, np.float64),
+        "std": np.asarray(std, np.float64),
+        "min": np.asarray(xmin, np.float64),
+        "max": np.asarray(xmax, np.float64),
+    }
