@@ -62,7 +62,19 @@ class FeedForward(nn.Module):
         for i in range(n_transitions):
             x = nn.Dense(self.layers[i + 1], name=f"dense_{i}")(x)
             if i < len(self.batchnorm) and self.batchnorm[i]:
-                x = nn.BatchNorm(use_running_average=not train, name=f"bn_{i}")(x)
+                # Stateless batch normalization (batch statistics at both
+                # train and eval; no running averages — documented deviation
+                # from torch BatchNorm eval semantics).
+                mu = jnp.mean(x, axis=0, keepdims=True)
+                var = jnp.var(x, axis=0, keepdims=True)
+                x = (x - mu) / jnp.sqrt(var + 1e-5)
+                scale = self.param(
+                    f"bn_scale_{i}", nn.initializers.ones, (x.shape[-1],)
+                )
+                bias = self.param(
+                    f"bn_bias_{i}", nn.initializers.zeros, (x.shape[-1],)
+                )
+                x = x * scale + bias
             act = self.activation[i] if i < len(self.activation) else None
             x = ACTIVATIONS[act](x)
             drop = self.dropout[i] if i < len(self.dropout) else None
@@ -159,7 +171,7 @@ class VAECV(nn.Module):
         return mean
 
     def elbo_parts(self, x, rng, train: bool = True):
-        """Returns (reconstruction_mse, kl) for the ELBO loss."""
+        """Per-sample (reconstruction_mse, kl) vectors for the ELBO loss."""
         xn = self.normalize_in(x)
         h = self.encoder(xn, train=train)
         mean = self.mean_head(h)
@@ -167,10 +179,8 @@ class VAECV(nn.Module):
         eps = jax.random.normal(rng, mean.shape, mean.dtype)
         z = mean + jnp.exp(0.5 * logvar) * eps
         x_hat = self.decoder(z, train=train)
-        recon = jnp.mean(jnp.sum((x_hat - xn) ** 2, axis=-1) / xn.shape[-1])
-        kl = -0.5 * jnp.mean(
-            jnp.sum(1 + logvar - mean**2 - jnp.exp(logvar), axis=-1)
-        )
+        recon = jnp.mean((x_hat - xn) ** 2, axis=-1)
+        kl = -0.5 * jnp.sum(1 + logvar - mean**2 - jnp.exp(logvar), axis=-1)
         return recon, kl
 
 

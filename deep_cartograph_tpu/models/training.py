@@ -1,0 +1,449 @@
+"""Deep-CV training engine (optax): the TPU-native replacement for the
+reference's PyTorch-Lightning Trainer stack (cf. deep_cartograph/modules/
+cv_learning/cv_calculator.py:1417-1553 and modules/ml/ml.py).
+
+Capabilities kept 1:1:
+  - seeded train/valid random split, shuffling, batch-size clamping
+  - EarlyStopping(valid_loss, patience, min_delta)
+  - best/last model selection (+ post-annealing best for VAE)
+  - KL annealing schedules (linear / sigmoid / cyclical)
+  - OneCycleLR and ReduceLROnPlateau (delayed stepping) schedulers
+  - per-epoch metrics (train/valid loss, lr, model-specific auxes)
+
+TPU-first design: one jitted epoch program — the minibatch loop is a
+lax.scan over a (n_batches, batch_size) permutation array with weight masks
+for the ragged tail, so every epoch is a single device dispatch.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Optimizers and schedules
+# ---------------------------------------------------------------------------
+
+def make_optimizer(
+    name: str,
+    kwargs: Dict,
+    lr_schedule: Optional[Callable] = None,
+) -> optax.GradientTransformation:
+    """torch.optim-style optimizer names -> optax chains.
+
+    weight_decay follows torch's L2-in-gradient convention (decay added to
+    the gradient before the adaptive update).
+    """
+    kwargs = dict(kwargs or {})
+    lr = kwargs.pop("lr", 1e-3)
+    weight_decay = kwargs.pop("weight_decay", 0.0)
+    learning_rate = lr_schedule if lr_schedule is not None else lr
+
+    name_l = name.lower()
+    if name_l == "adam":
+        core = optax.scale_by_adam(
+            b1=kwargs.get("betas", (0.9, 0.999))[0],
+            b2=kwargs.get("betas", (0.9, 0.999))[1],
+            eps=kwargs.get("eps", 1e-8),
+        )
+    elif name_l == "adamw":
+        # torch AdamW: decoupled weight decay
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=learning_rate, weight_decay=weight_decay
+        )
+    elif name_l == "sgd":
+        momentum = kwargs.get("momentum", 0.0)
+        core = (
+            optax.trace(decay=momentum, nesterov=kwargs.get("nesterov", False))
+            if momentum
+            else optax.identity()
+        )
+    elif name_l == "rmsprop":
+        core = optax.scale_by_rms(
+            decay=kwargs.get("alpha", 0.99), eps=kwargs.get("eps", 1e-8)
+        )
+    else:
+        raise ValueError(f"Optimizer {name} not recognized.")
+
+    chain = []
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(core)
+
+    def scaled(learning_rate):
+        return optax.chain(*chain, optax.scale_by_learning_rate(learning_rate))
+
+    return optax.inject_hyperparams(scaled)(learning_rate=learning_rate)
+
+
+def one_cycle_schedule(
+    max_lr: float, total_steps: int, **kwargs
+) -> Callable[[int], float]:
+    """torch OneCycleLR (cos strategy) equivalent."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=max(total_steps, 1),
+        peak_value=max_lr,
+        pct_start=kwargs.get("pct_start", 0.3),
+        div_factor=kwargs.get("div_factor", 25.0),
+        final_div_factor=kwargs.get("final_div_factor", 1e4),
+    )
+
+
+class ReduceLROnPlateau:
+    """Host-side ReduceLROnPlateau with delayed start (the reference combines
+    torch's scheduler with an LROnPlateauManager callback, ml.py:243-273)."""
+
+    def __init__(
+        self,
+        factor: float = 0.1,
+        patience: int = 10,
+        cooldown: int = 0,
+        min_lr: float = 0.0,
+        threshold: float = 1e-4,
+        start_epoch: int = 0,
+    ):
+        self.factor = factor
+        self.patience = patience
+        self.cooldown = cooldown
+        self.min_lr = min_lr
+        self.threshold = threshold
+        self.start_epoch = start_epoch
+        self.best = math.inf
+        self.num_bad = 0
+        self.cooldown_counter = 0
+        self.scale = 1.0
+
+    def step(self, epoch: int, valid_loss: float) -> float:
+        if epoch < self.start_epoch:
+            return self.scale
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        if valid_loss < self.best * (1 - self.threshold):
+            self.best = valid_loss
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.scale = max(self.scale * self.factor, self.min_lr)
+            self.cooldown_counter = self.cooldown
+            self.num_bad = 0
+        return self.scale
+
+
+# ---------------------------------------------------------------------------
+# KL annealing (cf. reference modules/ml/ml.py:51-241)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class KLAnnealing:
+    type: str = "linear"
+    start_beta: float = 0.0
+    max_beta: float = 0.01
+    start_epoch: int = 1000
+    n_cycles: int = 4
+    n_epochs_anneal: int = 1000
+
+    def beta(self, current_epoch: int) -> float:
+        if current_epoch <= self.start_epoch:
+            return self.start_beta
+        epoch = current_epoch - self.start_epoch
+        if self.type == "linear":
+            return self._linear(epoch, self.n_epochs_anneal)
+        if self.type == "sigmoid":
+            return self._sigmoid(epoch, self.n_epochs_anneal)
+        if self.type == "cyclical":
+            return self._cyclical(epoch, self.n_epochs_anneal)
+        raise ValueError(f"Invalid KL annealing type {self.type}")
+
+    def _linear(self, epoch: int, n_epochs: int) -> float:
+        if epoch >= n_epochs:
+            return self.max_beta
+        return self.start_beta + (self.max_beta - self.start_beta) * (
+            epoch / n_epochs
+        )
+
+    def _cyclical(self, epoch: int, n_epochs: int) -> float:
+        if epoch >= n_epochs:
+            return self.max_beta
+        cycle_length = max(n_epochs // self.n_cycles, 1)
+        return self._linear(epoch % cycle_length, max(cycle_length // 2, 1))
+
+    def _sigmoid(self, epoch: int, n_epochs: int) -> float:
+        eps = 1e-3
+        midpoint = self.start_epoch + n_epochs // 2
+        denom = self.start_epoch - midpoint
+        steepness = np.log(eps / (1 - eps)) / denom if denom != 0 else 1.0
+        e = epoch + self.start_epoch
+        return self.start_beta + (self.max_beta - self.start_beta) / (
+            1 + np.exp(-steepness * (e - midpoint))
+        )
+
+    @property
+    def end_epoch(self) -> int:
+        return self.start_epoch + self.n_epochs_anneal
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TrainerConfig:
+    batch_size: int = 32
+    max_epochs: int = 1000
+    shuffle: bool = True
+    check_val_every_n_epoch: int = 1
+    early_stop_patience: int = 20
+    early_stop_min_delta: float = 1e-5
+    optimizer_name: str = "Adam"
+    optimizer_kwargs: Dict = field(default_factory=dict)
+    lr_scheduler: Optional[Dict] = None       # {'name': ..., 'kwargs': {...}}
+    kl_annealing: Optional[KLAnnealing] = None
+    model_to_save: str = "best"               # 'best' | 'last'
+    # VAE: only checkpoint 'best' after KL annealing completes
+    post_annealing_checkpoint: bool = False
+
+
+@dataclass
+class TrainResult:
+    params: Any
+    score: float
+    metrics: Dict[str, List]
+    best_epoch: int
+    description: str
+
+
+def _make_batches(
+    n: int, batch_size: int, shuffle: bool, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(n_batches, batch_size) index array + weight mask (ragged tail padded
+    with repeated index 0 at weight 0 — keeps shapes static for scan)."""
+    order = rng.permutation(n) if shuffle else np.arange(n)
+    n_batches = int(np.ceil(n / batch_size))
+    padded = np.zeros(n_batches * batch_size, dtype=np.int32)
+    weights = np.zeros(n_batches * batch_size, dtype=np.float32)
+    padded[:n] = order
+    weights[:n] = 1.0
+    return (
+        padded.reshape(n_batches, batch_size),
+        weights.reshape(n_batches, batch_size),
+    )
+
+
+class Trainer:
+    """Generic seeded trainer over (data dict of arrays, loss function).
+
+    loss_fn(params, batch: dict, rng, beta) -> (loss, aux: dict of scalars).
+    The batch dict carries a 'weight' mask for padded samples; losses must
+    use it.
+    """
+
+    def __init__(
+        self,
+        loss_fn: Callable,
+        config: TrainerConfig,
+    ):
+        self.loss_fn = loss_fn
+        self.config = config
+
+    def fit(
+        self,
+        params,
+        train_data: Dict[str, np.ndarray],
+        valid_data: Dict[str, np.ndarray],
+        seed: int,
+    ) -> TrainResult:
+        cfg = self.config
+        n_train = len(next(iter(train_data.values())))
+        n_valid = len(next(iter(valid_data.values())))
+        steps_per_epoch = int(np.ceil(n_train / cfg.batch_size))
+
+        # LR schedule
+        lr_schedule = None
+        plateau: Optional[ReduceLROnPlateau] = None
+        if cfg.lr_scheduler:
+            name = cfg.lr_scheduler.get("name", "")
+            kwargs = dict(cfg.lr_scheduler.get("kwargs", {}))
+            if name == "OneCycleLR":
+                max_lr = kwargs.pop("max_lr", 1e-3)
+                total = kwargs.pop("epochs", cfg.max_epochs) * kwargs.pop(
+                    "steps_per_epoch", steps_per_epoch
+                )
+                lr_schedule = one_cycle_schedule(max_lr, total, **kwargs)
+            elif name == "ReduceLROnPlateau":
+                plateau = ReduceLROnPlateau(
+                    factor=kwargs.get("factor", 0.1),
+                    patience=kwargs.get("patience", cfg.early_stop_patience // 4),
+                    cooldown=kwargs.get("cooldown", cfg.early_stop_patience // 8),
+                    min_lr=kwargs.get("min_lr", 0.0),
+                    start_epoch=kwargs.get("start_epoch", 0),
+                )
+            else:
+                raise ValueError(f"Learning rate scheduler {name} not recognized.")
+
+        optimizer = make_optimizer(
+            cfg.optimizer_name, cfg.optimizer_kwargs, lr_schedule
+        )
+        base_lr = cfg.optimizer_kwargs.get("lr", 1e-3)
+        opt_state = optimizer.init(params)
+
+        train_dev = {k: jnp.asarray(v) for k, v in train_data.items()}
+        valid_dev = {k: jnp.asarray(v) for k, v in valid_data.items()}
+
+        loss_fn = self.loss_fn
+
+        @jax.jit
+        def epoch_step(params, opt_state, batches, weights, rng, beta):
+            def body(carry, scan_in):
+                params, opt_state, rng = carry
+                idx, w = scan_in
+                rng, sub = jax.random.split(rng)
+                batch = {k: v[idx] for k, v in train_dev.items()}
+                batch["weight"] = w
+
+                def wrapped(p):
+                    return loss_fn(p, batch, sub, beta)
+
+                (loss, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(
+                    params
+                )
+                updates, opt_state2 = optimizer.update(grads, opt_state, params)
+                params2 = optax.apply_updates(params, updates)
+                return (params2, opt_state2, rng), (loss, aux)
+
+            (params, opt_state, rng), (losses, auxes) = jax.lax.scan(
+                body, (params, opt_state, rng), (batches, weights)
+            )
+            return params, opt_state, jnp.mean(losses), jax.tree.map(
+                jnp.mean, auxes
+            )
+
+        @jax.jit
+        def eval_step(params, rng, beta):
+            batch = dict(valid_dev)
+            batch["weight"] = jnp.ones(n_valid, jnp.float32)
+            loss, aux = loss_fn(params, batch, rng, beta)
+            return loss, aux
+
+        np_rng = np.random.default_rng(seed)
+        jax_rng = jax.random.PRNGKey(seed)
+
+        metrics: Dict[str, List] = {
+            "epoch": [],
+            "train_loss": [],
+            "valid_loss": [],
+            "lr": [],
+        }
+        if cfg.kl_annealing is not None:
+            metrics["beta"] = []
+
+        best_score = math.inf
+        best_params = params
+        best_epoch = -1
+        post_best_score = math.inf
+        post_best_params = None
+        post_best_epoch = -1
+        bad_checks = 0
+        last_valid = math.inf
+        anneal_end = (
+            cfg.kl_annealing.end_epoch if cfg.kl_annealing is not None else 0
+        )
+
+        for epoch in range(cfg.max_epochs):
+            beta = (
+                cfg.kl_annealing.beta(epoch)
+                if cfg.kl_annealing is not None
+                else 0.0
+            )
+            batches, weights = _make_batches(
+                n_train, cfg.batch_size, cfg.shuffle, np_rng
+            )
+            jax_rng, sub = jax.random.split(jax_rng)
+            params, opt_state, train_loss, _ = epoch_step(
+                params,
+                opt_state,
+                jnp.asarray(batches),
+                jnp.asarray(weights),
+                sub,
+                jnp.float32(beta),
+            )
+
+            if (epoch + 1) % cfg.check_val_every_n_epoch == 0:
+                jax_rng, sub = jax.random.split(jax_rng)
+                valid_loss, valid_aux = eval_step(params, sub, jnp.float32(beta))
+                valid_loss = float(valid_loss)
+                last_valid = valid_loss
+
+                metrics["epoch"].append(epoch)
+                metrics["train_loss"].append(float(train_loss))
+                metrics["valid_loss"].append(valid_loss)
+                try:
+                    lr_now = float(opt_state.hyperparams["learning_rate"])
+                except Exception:
+                    lr_now = base_lr
+                metrics["lr"].append(lr_now)
+                if cfg.kl_annealing is not None:
+                    metrics["beta"].append(beta)
+                for k, v in valid_aux.items():
+                    metrics.setdefault(f"valid_{k}", []).append(float(v))
+
+                # Checkpointing: best overall + best post-annealing
+                if valid_loss < best_score - cfg.early_stop_min_delta:
+                    best_score = valid_loss
+                    best_params = jax.tree.map(lambda a: a, params)
+                    best_epoch = epoch
+                    bad_checks = 0
+                else:
+                    bad_checks += 1
+                if (
+                    cfg.post_annealing_checkpoint
+                    and epoch >= anneal_end
+                    and valid_loss < post_best_score
+                ):
+                    post_best_score = valid_loss
+                    post_best_params = jax.tree.map(lambda a: a, params)
+                    post_best_epoch = epoch
+
+                # ReduceLROnPlateau (delayed start handled inside)
+                if plateau is not None:
+                    scale = plateau.step(epoch, valid_loss)
+                    try:
+                        opt_state.hyperparams["learning_rate"] = (
+                            jnp.asarray(base_lr * scale, jnp.float32)
+                        )
+                    except Exception:
+                        pass
+
+                # Early stopping
+                if bad_checks >= cfg.early_stop_patience:
+                    logger.debug("Early stopping at epoch %d", epoch)
+                    break
+
+        # Model selection (cf. reference _finalize_training,
+        # cv_calculator.py:1555-1642)
+        if cfg.post_annealing_checkpoint and post_best_params is not None:
+            return TrainResult(
+                post_best_params,
+                post_best_score,
+                metrics,
+                post_best_epoch,
+                "best post-annealing",
+            )
+        if cfg.model_to_save == "best" and best_epoch >= 0:
+            return TrainResult(
+                best_params, best_score, metrics, best_epoch, "best overall"
+            )
+        return TrainResult(
+            params, last_valid, metrics, cfg.max_epochs - 1, "last"
+        )

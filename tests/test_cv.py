@@ -1,0 +1,284 @@
+"""CV calculator tests: linear (PCA/TICA/HTICA), deep (AE/VAE/DeepTICA), UMAP,
+model.zip round trips, PLUMED export."""
+
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from deep_cartograph_tpu.cv import cv_calculators_map
+from deep_cartograph_tpu.io.colvars import write_colvars
+
+
+@pytest.fixture(scope="module")
+def cv_dataset(tmp_path_factory, ca_system):
+    """Synthetic two-state colvars dataset tied to the CA topology."""
+    root = tmp_path_factory.mktemp("cv_data")
+    rng = np.random.default_rng(3)
+    n = 400
+    labels = [
+        "dist-@CA_1-@CA_5",
+        "dist-@CA_2-@CA_7",
+        "dist-@CA_3-@CA_9",
+        "dist-@CA_1-@CA_9",
+        "dist-@CA_4-@CA_10",
+        "dist-@CA_2-@CA_11",
+    ]
+    # slow two-state signal + correlated/noisy channels
+    state = np.zeros(n)
+    for i in range(1, n):
+        flip = rng.random() < 0.01
+        state[i] = 1 - state[i - 1] if flip else state[i - 1]
+    slow = state + 0.05 * rng.standard_normal(n)
+    data = np.zeros((n, len(labels)), np.float32)
+    data[:, 0] = 0.5 + 0.3 * slow
+    data[:, 1] = 0.7 - 0.2 * slow + 0.02 * rng.standard_normal(n)
+    data[:, 2] = 0.6 + 0.05 * rng.standard_normal(n)
+    data[:, 3] = 0.9 + 0.1 * slow + 0.05 * rng.standard_normal(n)
+    data[:, 4] = 0.4 + 0.03 * rng.standard_normal(n)
+    data[:, 5] = 0.8 + 0.15 * slow + 0.03 * rng.standard_normal(n)
+    time_col = np.arange(n, dtype=np.float32)
+    path = os.path.join(str(root), "colvars.dat")
+    write_colvars(path, np.column_stack([time_col, data]), ["time"] + labels, fmt="%.6f")
+    return {
+        "colvars": path,
+        "labels": labels,
+        "data": data,
+        "topology": ca_system.pdb_path,
+        "root": str(root),
+    }
+
+
+def base_config(**overrides):
+    cfg = {
+        "dimension": 2,
+        "lag_time": 1,
+        "tica_regularization": 1e-6,
+        "features_normalization": "mean_std",
+        "input_colvars": {},
+        "num_subspaces": 2,
+        "subspaces_dimension": 2,
+        "bias": {
+            "method": "opes_metad",
+            "args": {
+                "temperature": 300.0,
+                "sigma": 0.05,
+                "pace": 500,
+                "grid_min": -1.0,
+                "grid_max": 1.0,
+                "grid_bin": 300,
+                "height": 1.0,
+                "bias_factor": 10.0,
+                "barrier": 50.0,
+                "observation_steps": 100,
+                "compression_threshold": 0.1,
+            },
+            "add_rmsd_restraint": False,
+            "align_waypoint_structures": True,
+            "rmsd_restraint_k": 5000.0,
+            "rmsd_restraint_eq": 0.4,
+        },
+        "architecture": {
+            "encoder": {
+                "layers": [8],
+                "activation": ["tanh"],
+                "dropout": [None],
+                "batchnorm": [False],
+                "last_layer_activation": None,
+                "last_layer_batchnorm": False,
+                "last_layer_dropout": None,
+            },
+            "decoder": {
+                "layers": [8],
+                "activation": ["tanh"],
+                "dropout": [None],
+                "batchnorm": [False],
+                "last_layer_activation": None,
+                "last_layer_batchnorm": False,
+                "last_layer_dropout": None,
+            },
+        },
+        "training": {
+            "general": {
+                "num_tries": 1,
+                "seed": 42,
+                "lengths": [0.8, 0.2],
+                "batch_size": 64,
+                "max_epochs": 40,
+                "shuffle": True,
+                "random_split": True,
+                "check_val_every_n_epoch": 1,
+                "save_check_every_n_epoch": 1,
+            },
+            "early_stopping": {"patience": 50, "min_delta": 1e-6},
+            "optimizer": {"name": "Adam", "kwargs": {"lr": 1e-2, "weight_decay": 0.0}},
+            "lr_scheduler": None,
+            "kl_annealing": None,
+            "save_loss": True,
+            "plot_loss": False,
+            "model_to_save": "best",
+        },
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def _train(cv_name, cv_dataset, tmp_path, config=None):
+    calc = cv_calculators_map[cv_name](
+        configuration=config or base_config(), output_path=str(tmp_path)
+    )
+    calc.load_training_data(
+        [cv_dataset["colvars"]],
+        [cv_dataset["topology"]],
+        features_list=cv_dataset["labels"],
+    )
+    projection = calc.run()
+    return calc, projection
+
+
+def _roundtrip_check(cv_name, calc, projection, cv_dataset, tmp_path):
+    from deep_cartograph_tpu.cv.base import CVCalculator
+
+    model_zip = os.path.join(str(tmp_path), cv_name, "model.zip")
+    assert os.path.exists(model_zip)
+    loaded = CVCalculator.load(model_zip, os.path.join(str(tmp_path), "reload"))
+    reprojected = loaded.project_colvars(
+        [cv_dataset["colvars"]], [cv_dataset["topology"]]
+    )
+    np.testing.assert_allclose(
+        reprojected.to_numpy(), projection.to_numpy(), atol=2e-4
+    )
+
+
+def test_pca_matches_sklearn(cv_dataset, tmp_path):
+    calc, projection = _train("pca", cv_dataset, tmp_path)
+    assert projection.shape == (400, 2)
+    assert list(projection.columns) == ["PC 1", "PC 2"]
+    # projected training data normalized to [-1, 1]
+    assert projection.to_numpy().min() >= -1.0001
+    assert projection.to_numpy().max() <= 1.0001
+
+    from sklearn.decomposition import PCA as SkPCA
+
+    normalized = (
+        cv_dataset["data"] - cv_dataset["data"].mean(0)
+    ) / cv_dataset["data"].std(0)
+    sk = SkPCA(n_components=2).fit(normalized)
+    w = sk.components_.T.copy()
+    for i in range(2):
+        if w[0, i] < 0:
+            w[:, i] = -w[:, i]
+    np.testing.assert_allclose(np.abs(calc.cv), np.abs(w), atol=2e-4)
+    _roundtrip_check("pca", calc, projection, cv_dataset, tmp_path)
+
+
+def test_tica_and_roundtrip(cv_dataset, tmp_path):
+    calc, projection = _train("tica", cv_dataset, tmp_path)
+    assert projection.shape == (400, 2)
+    assert calc.eigenvalues_[0] > 0.5  # slow mode present
+    _roundtrip_check("tica", calc, projection, cv_dataset, tmp_path)
+
+
+def test_htica_and_roundtrip(cv_dataset, tmp_path):
+    calc, projection = _train("htica", cv_dataset, tmp_path)
+    assert projection.shape == (400, 2)
+    # HTICA should find a similar slow mode to full TICA
+    assert calc.eigenvalues_[0] > 0.5
+    _roundtrip_check("htica", calc, projection, cv_dataset, tmp_path)
+
+
+def test_ae_trains_and_roundtrips(cv_dataset, tmp_path):
+    calc, projection = _train("ae", cv_dataset, tmp_path)
+    assert projection is not None and projection.shape == (400, 2)
+    assert np.isfinite(projection.to_numpy()).all()
+    # metrics recorded
+    assert len(calc.metrics["valid_loss"]) > 5
+    _roundtrip_check("ae", calc, projection, cv_dataset, tmp_path)
+    # TorchScript twin produces the same projection
+    import torch
+
+    model_zip = os.path.join(str(tmp_path), "ae", "model.zip")
+    with zipfile.ZipFile(model_zip) as zf:
+        assert "model/cv_weights.pt" in zf.namelist()
+        zf.extract("model/cv_weights.pt", str(tmp_path / "ts"))
+    ts = torch.jit.load(str(tmp_path / "ts" / "model" / "cv_weights.pt"))
+    with torch.no_grad():
+        out = ts(torch.from_numpy(cv_dataset["data"])).numpy()
+    np.testing.assert_allclose(out, projection.to_numpy(), atol=2e-4)
+
+
+def test_vae_trains(cv_dataset, tmp_path):
+    cfg = base_config()
+    cfg["training"]["general"]["max_epochs"] = 30
+    cfg["training"]["kl_annealing"] = {
+        "type": "linear",
+        "start_beta": 1e-6,
+        "max_beta": 0.01,
+        "start_epoch": 5,
+        "n_cycles": 1,
+        "n_epochs_anneal": 10,
+    }
+    calc, projection = _train("vae", cv_dataset, tmp_path, cfg)
+    assert projection is not None and projection.shape == (400, 2)
+    assert "beta" in calc.metrics
+    assert "valid_kl_loss" in calc.metrics
+    _roundtrip_check("vae", calc, projection, cv_dataset, tmp_path)
+
+
+def test_deep_tica_trains(cv_dataset, tmp_path):
+    calc, projection = _train("deep_tica", cv_dataset, tmp_path)
+    assert projection is not None and projection.shape == (400, 2)
+    # eigenvalues bounded by 1, slow mode present
+    assert calc.eigenvalues_[0] <= 1.0 + 1e-3
+    assert calc.eigenvalues_[0] > 0.5
+    assert calc.cv_score >= -2.0 - 1e-3  # sanity bound
+    _roundtrip_check("deep_tica", calc, projection, cv_dataset, tmp_path)
+
+
+def test_umap_fits_and_roundtrips(cv_dataset, tmp_path):
+    cfg = base_config()
+    calc, projection = _train("umap", cv_dataset, tmp_path, cfg)
+    assert projection is not None and projection.shape == (400, 2)
+    emb = projection.to_numpy()
+    assert np.isfinite(emb).all()
+    # transform() is an approximate re-embedding (as in umap-learn), so the
+    # roundtrip check is correlation, not exact equality.
+    from deep_cartograph_tpu.cv.base import CVCalculator
+
+    model_zip = os.path.join(str(tmp_path), "umap", "model.zip")
+    loaded = CVCalculator.load(model_zip, os.path.join(str(tmp_path), "reload"))
+    reproj = loaded.project_colvars(
+        [cv_dataset["colvars"]], [cv_dataset["topology"]]
+    ).to_numpy()
+    for d in range(2):
+        corr = np.corrcoef(reproj[:, d], emb[:, d])[0, 1]
+        assert abs(corr) > 0.9, f"dim {d} corr {corr}"
+
+
+def test_plumed_export_linear(cv_dataset, tmp_path):
+    calc, _ = _train("pca", cv_dataset, tmp_path)
+    out = tmp_path / "plumed_out"
+    out.mkdir()
+    calc.write_plumed_files(cv_dataset["topology"], str(out))
+    assert (out / "plumed_pca_unbiased.zip").exists()
+    assert (out / "plumed_pca_biased.zip").exists()
+    with zipfile.ZipFile(out / "plumed_pca_unbiased.zip") as zf:
+        names = zf.namelist()
+        input_name = [n for n in names if n.startswith("plumed_input")][0]
+        text = zf.read(input_name).decode()
+    assert "COMBINE" in text and "MOLINFO" in text
+    assert "norm_pca_0" in text and "norm_pca_1" in text
+
+
+def test_plumed_export_nonlinear(cv_dataset, tmp_path):
+    calc, _ = _train("ae", cv_dataset, tmp_path)
+    out = tmp_path / "plumed_out"
+    out.mkdir()
+    calc.write_plumed_files(cv_dataset["topology"], str(out))
+    with zipfile.ZipFile(out / "plumed_ae_unbiased.zip") as zf:
+        names = zf.namelist()
+        assert any(n.endswith("ae_weights.pt") for n in names)
+        input_name = [n for n in names if n.startswith("plumed_input")][0]
+        text = zf.read(input_name).decode()
+    assert "PYTORCH_MODEL" in text
