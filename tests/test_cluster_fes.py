@@ -1,0 +1,129 @@
+"""Clustering (device kmeans + scores) and KDE FES tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deep_cartograph_tpu.cluster import (
+    assign_nearest_neighbor,
+    clustering_scores,
+    find_centroids,
+    kmeans_clustering,
+    optimize_clustering,
+)
+from deep_cartograph_tpu.fes import compute_fes
+
+
+@pytest.fixture(scope="module")
+def blobs(rng=None):
+    rng = np.random.default_rng(5)
+    centers = np.array([[0, 0], [5, 5], [0, 6]], float)
+    data = np.concatenate(
+        [c + 0.4 * rng.standard_normal((120, 2)) for c in centers]
+    ).astype(np.float32)
+    labels = np.repeat(np.arange(3), 120)
+    return data, labels
+
+
+def test_kmeans_recovers_blobs(blobs):
+    data, true_labels = blobs
+    labels, centroids = kmeans_clustering(data, 3, n_init=5)
+    assert centroids.shape == (3, 2)
+    # Perfect recovery up to label permutation
+    from scipy.stats import mode
+
+    remap = {}
+    for c in range(3):
+        remap[c] = mode(true_labels[labels == c]).mode
+    mapped = np.array([remap[l] for l in labels])
+    assert (mapped == true_labels).mean() > 0.99
+
+
+def test_scores_match_sklearn(blobs):
+    data, _ = blobs
+    labels, _ = kmeans_clustering(data, 3, n_init=5)
+    ch, db, sil = clustering_scores(data, labels)
+    from sklearn.metrics import (
+        calinski_harabasz_score,
+        davies_bouldin_score,
+        silhouette_score,
+    )
+
+    assert abs(ch - calinski_harabasz_score(data, labels)) / ch < 1e-3
+    assert abs(db - davies_bouldin_score(data, labels)) < 1e-3
+    assert abs(sil - silhouette_score(data, labels)) < 1e-3
+
+
+def test_optimize_clustering_finds_three(blobs):
+    data, _ = blobs
+    settings = {
+        "algorithm": "kmeans",
+        "opt_num_clusters": True,
+        "search_interval": [2, 6],
+        "n_init": 5,
+    }
+    labels, centroids = optimize_clustering(data, settings)
+    assert len(np.unique(labels)) == 3
+
+
+def test_hierarchical_and_hdbscan(blobs):
+    data, _ = blobs
+    labels, centroids = optimize_clustering(
+        data,
+        {
+            "algorithm": "hierarchical",
+            "opt_num_clusters": True,
+            "search_interval": [2, 5],
+            "linkage": "complete",
+        },
+    )
+    assert len(np.unique(labels)) == 3
+    labels, centroids = optimize_clustering(
+        data,
+        {"algorithm": "hdbscan", "min_cluster_size": 30, "min_samples": 5,
+         "cluster_selection_epsilon": 0.0, "cluster_selection_method": "eom",
+         "max_cluster_size": None},
+    )
+    assert len(np.unique(labels[labels >= 0])) == 3
+
+
+def test_find_centroids_and_nn(blobs):
+    data, _ = blobs
+    labels, centroids = kmeans_clustering(data, 3, n_init=5)
+    df = pd.DataFrame(data, columns=["x", "y"])
+    df = find_centroids(df, centroids, ["x", "y"])
+    assert df["centroid"].sum() == 3
+    # 1-NN assignment: points near first centroid map to its cluster
+    new = centroids + 0.01
+    idx = assign_nearest_neighbor(new, data)
+    assigned = labels[idx]
+    for i, c in enumerate(centroids):
+        d = np.linalg.norm(data[labels == assigned[i]].mean(0) - c)
+        assert d < 0.5
+
+
+def test_fes_1d_two_wells():
+    rng = np.random.default_rng(0)
+    data = np.concatenate(
+        [rng.standard_normal(4000) * 0.1 - 0.5, rng.standard_normal(4000) * 0.1 + 0.5]
+    )
+    axes, fes, err = compute_fes(
+        data, temperature=300, bandwidth=0.05, num_bins=101, num_blocks=4
+    )
+    assert fes.shape == (101,)
+    assert abs(fes.min()) < 1e-5
+    # barrier at x=0 far higher than the wells
+    center = fes[np.argmin(np.abs(axes[0]))]
+    well_left = fes[np.argmin(np.abs(axes[0] + 0.5))]
+    assert center > well_left + 10.0  # kJ/mol
+    assert err is not None and np.isfinite(err).all()
+
+
+def test_fes_2d_shape_and_min():
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((2000, 2)).astype(np.float32) * 0.3
+    axes, fes, _ = compute_fes(data, num_bins=40, bandwidth=0.1)
+    assert fes.shape == (40, 40)
+    # minimum near the center of the grid
+    imin = np.unravel_index(np.argmin(fes), fes.shape)
+    assert 10 < imin[0] < 30 and 10 < imin[1] < 30
