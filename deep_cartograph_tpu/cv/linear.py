@@ -186,7 +186,7 @@ class PCACalculator(LinearCalculator):
         cov = (xc.T @ xc) / (x.shape[0] - 1)
         evals, evecs = jnp.linalg.eigh(cov)
         # ascending -> take top cv_dimension, descending
-        components = np.asarray(evecs[:, ::-1][:, : self.cv_dimension])
+        components = np.array(evecs[:, ::-1][:, : self.cv_dimension])
         for i in range(self.cv_dimension):
             if components[0, i] < 0:
                 components[:, i] = -components[:, i]

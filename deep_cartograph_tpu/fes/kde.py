@@ -110,8 +110,8 @@ def plot_fes(
     settings: Dict,
     output_path: str,
     num_blocks: int = 1,
-    sup_data: Optional[np.ndarray] = None,
-    sup_labels: Optional[Sequence[str]] = None,
+    sup_data: Optional[List[np.ndarray]] = None,
+    sup_data_labels: Optional[Sequence[str]] = None,
 ) -> None:
     """Compute + plot (and optionally save) the FES
     (cf. reference figures.py:24-192)."""
@@ -150,6 +150,16 @@ def plot_fes(
                 alpha=0.3,
                 color="#4878d0",
             )
+        if sup_data is not None:
+            for si, sup in enumerate(sup_data):
+                label = (
+                    sup_data_labels[si]
+                    if sup_data_labels and si < len(sup_data_labels)
+                    else f"sup_{si}"
+                )
+                heights = np.interp(np.asarray(sup).ravel(), axes_grid[0], masked)
+                ax.scatter(np.asarray(sup).ravel(), heights, s=12, label=label)
+            ax.legend(fontsize=7)
         ax.set_xlabel(cv_labels[0])
         ax.set_ylabel("FES (kJ/mol)")
     else:
@@ -165,10 +175,13 @@ def plot_fes(
         )
         fig.colorbar(cs, ax=ax, label="FES (kJ/mol)")
         if sup_data is not None:
-            ax.scatter(
-                sup_data[:, 0], sup_data[:, 1], s=12, c="red",
-                label=(sup_labels[0] if sup_labels else "sup"),
-            )
+            for si, sup in enumerate(sup_data):
+                label = (
+                    sup_data_labels[si]
+                    if sup_data_labels and si < len(sup_data_labels)
+                    else f"sup_{si}"
+                )
+                ax.scatter(sup[:, 0], sup[:, 1], s=12, label=label)
             ax.legend(fontsize=7)
         ax.set_xlabel(cv_labels[0])
         ax.set_ylabel(cv_labels[1])
