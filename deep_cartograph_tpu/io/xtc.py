@@ -1,0 +1,172 @@
+"""XTC trajectory codec (GROMACS compressed format, magic 1995).
+
+Frame framing (XDR big-endian) is handled here; the bit-packed coordinate
+compression (xdr3dfcoord) runs in the native C++ extension
+(deep_cartograph_tpu/native/xdrcodec.cpp), loaded via ctypes. XTC stores nm;
+this module converts to/from Angstroms like the rest of the IO layer.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+from typing import List, Optional
+
+import numpy as np
+
+_MAGIC = 1995
+_NM_TO_ANGSTROM = 10.0
+_DEFAULT_PRECISION = 1000.0
+
+
+class XTCError(ValueError):
+    pass
+
+
+def _lib():
+    from deep_cartograph_tpu.native.build import load_native
+
+    lib = load_native()
+    if lib is None:
+        raise XTCError(
+            "Native XTC codec unavailable (g++ build failed). Use .dcd or "
+            ".trr trajectories instead."
+        )
+    return lib
+
+
+def write_xtc(
+    path: str,
+    coords: np.ndarray,
+    timestep_ps: float = 1.0,
+    precision: float = _DEFAULT_PRECISION,
+) -> None:
+    """Write (n_frames, n_atoms, 3) Angstrom coordinates as XTC."""
+    lib = _lib()
+    coords_nm = np.ascontiguousarray(coords, dtype=np.float32) / _NM_TO_ANGSTROM
+    n_frames, n_atoms, _ = coords_nm.shape
+    out_buf = np.empty(n_atoms * 12 + 4096, np.uint8)
+
+    with open(path, "wb") as fh:
+        for f in range(n_frames):
+            header = struct.pack(
+                ">iiif", _MAGIC, n_atoms, f, f * timestep_ps
+            ) + struct.pack(">9f", *([0.0] * 9))
+            fh.write(header)
+            fh.write(struct.pack(">i", n_atoms))  # lsize
+            frame = coords_nm[f]
+            if n_atoms <= 9:
+                fh.write(frame.astype(">f4").tobytes())
+                continue
+            n = lib.xtc_compress_coords(
+                frame.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                n_atoms,
+                ctypes.c_float(precision),
+                out_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(out_buf),
+            )
+            if n < 0:
+                raise XTCError(f"XTC compression failed (code {n})")
+            fh.write(out_buf[:n].tobytes())
+
+
+def _iter_frames(data: bytes):
+    """Yield (n_atoms, offset_of_coord_section, header_dict) per frame."""
+    off = 0
+    while off < len(data):
+        if off + 56 > len(data):
+            break
+        magic, natoms, step = struct.unpack_from(">iii", data, off)
+        if magic != _MAGIC:
+            raise XTCError(f"Bad XTC magic {magic} at offset {off}")
+        (t,) = struct.unpack_from(">f", data, off + 12)
+        lsize_off = off + 16 + 36  # header + box
+        (lsize,) = struct.unpack_from(">i", data, lsize_off)
+        coord_off = lsize_off + 4
+        yield natoms, lsize, coord_off, off
+        # caller advances; generator re-entered with .send? -> simpler: the
+        # consumed size is computed by the caller and the generator recreated.
+        return
+
+
+def read_xtc(
+    path: str,
+    start: int = 0,
+    stop: Optional[int] = None,
+    stride: int = 1,
+) -> np.ndarray:
+    """Read coordinates as (n_frames, n_atoms, 3) float32 Angstroms."""
+    lib = _lib()
+    with open(path, "rb") as fh:
+        data = fh.read()
+    buf = np.frombuffer(data, np.uint8)
+
+    frames: List[np.ndarray] = []
+    off = 0
+    index = 0
+    while off + 56 <= len(data):
+        magic, natoms = struct.unpack_from(">ii", data, off)
+        if magic != _MAGIC:
+            raise XTCError(f"Bad XTC magic {magic} at offset {off}")
+        lsize_off = off + 16 + 36
+        (lsize,) = struct.unpack_from(">i", data, lsize_off)
+        coord_off = lsize_off + 4
+        take = (
+            index >= start
+            and (stop is None or index < stop)
+            and (index - start) % stride == 0
+        )
+        if lsize <= 9:
+            n_bytes = lsize * 12
+            if take:
+                frame = np.frombuffer(
+                    data, dtype=">f4", count=lsize * 3, offset=coord_off
+                ).reshape(lsize, 3)
+                frames.append(
+                    (frame * _NM_TO_ANGSTROM).astype(np.float32)
+                )
+            off = coord_off + n_bytes
+        else:
+            out = np.empty((natoms, 3), np.float32)
+            consumed = lib.xtc_decompress_coords(
+                buf[coord_off:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(data) - coord_off,
+                natoms,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            if consumed < 0:
+                raise XTCError(f"XTC decompression failed (code {consumed})")
+            if take:
+                frames.append(out * _NM_TO_ANGSTROM)
+            off = coord_off + consumed
+        index += 1
+        if stop is not None and index >= stop:
+            break
+
+    if not frames:
+        raise XTCError(f"No frames read from {path}")
+    return np.stack(frames)
+
+
+def count_xtc_frames(path: str) -> int:
+    """Frame count by walking the frame headers (payload sizes from the
+    byte-count field; no decompression)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    off = 0
+    count = 0
+    while off + 56 <= len(data):
+        magic, natoms = struct.unpack_from(">ii", data, off)
+        if magic != _MAGIC:
+            break
+        lsize_off = off + 16 + 36
+        (lsize,) = struct.unpack_from(">i", data, lsize_off)
+        coord_off = lsize_off + 4
+        if lsize <= 9:
+            off = coord_off + lsize * 12
+        else:
+            # precision + minint*3 + maxint*3 + smallidx = 8 ints, then nbytes
+            (nbytes,) = struct.unpack_from(">i", data, coord_off + 32)
+            off = coord_off + 36 + (nbytes + 3) // 4 * 4
+        count += 1
+    return count

@@ -60,12 +60,44 @@ def standard_deviation(features: np.ndarray) -> np.ndarray:
 
 
 def dip_pvalues(features: np.ndarray) -> np.ndarray:
-    """Hartigan dip-test p-value per feature (host-side order statistics)."""
-    from deep_cartograph_tpu.stats.dip import dip_pvalue
+    """Hartigan dip-test p-value per feature.
 
+    The dip statistic is computed by the OpenMP-parallel native batch kernel
+    when available (deep_cartograph_tpu/native/diptest.cpp); p-values come
+    from the shared Monte Carlo null table. Falls back to the pure-Python
+    implementation otherwise.
+    """
+    from deep_cartograph_tpu.stats.dip import dip_pvalue, pvalue_from_dip
+
+    dips = dip_statistics_batch(features)
+    if dips is not None:
+        n = features.shape[0]
+        return np.asarray([pvalue_from_dip(d, n) for d in dips])
     return np.asarray(
         [dip_pvalue(features[:, j])[1] for j in range(features.shape[1])]
     )
+
+
+def dip_statistics_batch(features: np.ndarray) -> Optional[np.ndarray]:
+    """Native batch dip statistics (None if the extension is unavailable)."""
+    import ctypes
+
+    from deep_cartograph_tpu.native.build import load_native
+
+    lib = load_native()
+    if lib is None or not hasattr(lib, "dip_statistics_batch"):
+        return None
+    n_samples, n_features = features.shape
+    # native kernel expects (n_features, n_samples) row-major
+    cols = np.ascontiguousarray(features.T, dtype=np.float64)
+    out = np.empty(n_features, np.float64)
+    lib.dip_statistics_batch(
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_features,
+        n_samples,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out
 
 
 def min_value_filter(features: np.ndarray, threshold: float) -> List[bool]:

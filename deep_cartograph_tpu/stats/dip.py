@@ -226,6 +226,22 @@ def _load_table() -> dict:
     return _TABLE_CACHE
 
 
+def pvalue_from_dip(dip: float, n: int) -> float:
+    """P-value for a precomputed dip statistic at sample size n."""
+    if n < 4:
+        return 1.0
+    table = _load_table()
+    ns = table["ns"].astype(float)
+    logn = np.log(float(n))
+    values = table["values"]
+    col = np.empty(values.shape[1])
+    for q in range(values.shape[1]):
+        col[q] = np.interp(logn, np.log(ns), values[:, q])
+    stat = np.sqrt(n) * dip
+    cdf = np.interp(stat, col, table["quantiles"], left=0.0, right=1.0)
+    return float(1.0 - cdf)
+
+
 def dip_pvalue(samples: np.ndarray) -> Tuple[float, float]:
     """(dip, p-value) via sqrt(n)-scaled interpolation of the null table.
 

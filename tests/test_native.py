@@ -1,0 +1,58 @@
+"""Native extension tests: XTC codec and batch dip statistics."""
+
+import numpy as np
+import pytest
+
+from deep_cartograph_tpu.native.build import load_native
+
+native = load_native()
+needs_native = pytest.mark.skipif(native is None, reason="native build failed")
+
+
+@needs_native
+def test_xtc_roundtrip(tmp_path, rng):
+    from deep_cartograph_tpu.io.xtc import count_xtc_frames, read_xtc, write_xtc
+
+    coords = (rng.standard_normal((9, 40, 3)) * 9).astype(np.float32)
+    path = str(tmp_path / "t.xtc")
+    write_xtc(path, coords)
+    back = read_xtc(path)
+    assert back.shape == coords.shape
+    assert count_xtc_frames(path) == 9
+    # XTC quantizes at precision 1000/nm -> 0.01 A worst case (here: 0.005)
+    assert np.abs(back - coords).max() < 0.02
+    strided = read_xtc(path, start=2, stop=8, stride=3)
+    np.testing.assert_allclose(strided, back[2:8:3])
+
+
+@needs_native
+def test_xtc_via_traj_dispatch(tmp_path, rng):
+    from deep_cartograph_tpu.io.traj import get_num_frames, read_traj, write_traj
+
+    coords = (rng.standard_normal((5, 20, 3)) * 9).astype(np.float32)
+    path = str(tmp_path / "d.xtc")
+    write_traj(path, coords)
+    assert get_num_frames(path) == 5
+    back = read_traj(path)
+    assert np.abs(back - coords).max() < 0.02
+
+
+@needs_native
+def test_native_dip_matches_python(rng):
+    from deep_cartograph_tpu.stats.descriptors import dip_statistics_batch
+    from deep_cartograph_tpu.stats.dip import dip_statistic
+
+    data = np.column_stack(
+        [
+            rng.standard_normal(300),
+            np.concatenate(
+                [rng.standard_normal(150) - 3, rng.standard_normal(150) + 3]
+            ),
+            rng.random(300),
+        ]
+    ).astype(np.float32)
+    native_dips = dip_statistics_batch(data)
+    assert native_dips is not None
+    for j in range(data.shape[1]):
+        expected = dip_statistic(data[:, j])
+        assert abs(native_dips[j] - expected) < 1e-12, j
