@@ -1,4 +1,6 @@
 from deep_cartograph_tpu.figures.plots import (
+    generate_cmap,
+    get_ranges,
     clusters_scatter_plot,
     create_cv_plot,
     generate_colors,

@@ -207,3 +207,34 @@ def create_cv_plot(
         ax.set_ylabel(cv_labels[1])
     fig.savefig(file_path, dpi=150, bbox_inches="tight")
     plt.close(fig)
+
+
+def get_ranges(X: np.ndarray, X_ref=None) -> list:
+    """Data range per dimension with a small margin
+    (cf. reference figures.py:399-477; 0.5% margin in 1D, 5% in ND)."""
+    X = np.asarray(X)
+    if X.ndim == 1:
+        lo, hi = float(np.min(X)), float(np.max(X))
+        if X_ref is not None:
+            for ref in X_ref:
+                lo = min(lo, float(np.min(ref)))
+                hi = max(hi, float(np.max(ref)))
+        offset = 0.005 * (hi - lo)
+        return (lo - offset, hi + offset)
+    ranges = []
+    for i in range(X.shape[1]):
+        lo, hi = float(np.min(X[:, i])), float(np.max(X[:, i]))
+        if X_ref is not None:
+            for ref in X_ref:
+                lo = min(lo, float(np.min(ref[:, i])))
+                hi = max(hi, float(np.max(ref[:, i])))
+        offset = 0.05 * (hi - lo)
+        ranges.append((lo - offset, hi + offset))
+    return ranges
+
+
+def generate_cmap(num_colors: int, cmap_name: str = "turbo"):
+    """ListedColormap of evenly spaced colors (cf. reference figures.py:543-589)."""
+    from matplotlib.colors import ListedColormap
+
+    return ListedColormap(generate_colors(num_colors, cmap_name))

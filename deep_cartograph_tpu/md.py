@@ -1,0 +1,156 @@
+"""MDAnalysis-style compatibility surface.
+
+Users of the reference import these names from `deep_cartograph.modules.md`
+(deep_cartograph/modules/md/md.py); this module maps every public helper onto
+the TPU-native implementations so existing scripts keep working after
+switching frameworks.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from pathlib import Path
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from deep_cartograph_tpu.features.discovery import (
+    find_coordinates as _find_coordinates,
+    find_dihedrals as _find_dihedrals,
+    find_distances as _find_distances,
+    get_coordinate_labels as _get_coordinate_labels,
+    get_dihedral_labels as _get_dihedral_labels,
+    get_distance_labels as _get_distance_labels,
+    get_features_list,
+)
+from deep_cartograph_tpu.features.grammar import to_entity_name, to_mda_selection
+from deep_cartograph_tpu.geom.analysis import RMSD, RMSF, dRMSD
+from deep_cartograph_tpu.geom.interpolate import interpolate_trajectory
+from deep_cartograph_tpu.geom.structure import (
+    create_plumed_rmsd_template,
+    create_rmsd_waypoint_reference,
+    map_sensitivity_to_structure,
+)
+from deep_cartograph_tpu.io.topology import Topology, create_pdb
+from deep_cartograph_tpu.io.traj import (
+    SUPPORTED_TOP_FORMATS,
+    SUPPORTED_TRAJ_FORMATS,
+    extract_frames_to_pdb,
+    extract_frames_to_traj,
+    get_num_frames,
+    read_traj,
+)
+
+__all__ = [
+    "RMSD", "RMSF", "dRMSD", "atom_entity_to_index", "create_pdb",
+    "create_plumed_rmsd_template", "create_rmsd_waypoint_reference",
+    "extract_PDB", "extract_XTC", "find_coordinates", "find_dihedrals",
+    "find_distances", "find_supported_top", "find_supported_traj",
+    "get_coordinate_labels", "get_dihedral_labels", "get_distance_labels",
+    "get_features_list", "get_indices", "get_num_frames", "get_number_atoms",
+    "interpolate_trajectory", "load_coordinates",
+    "map_sensitivity_to_structure", "to_entity_name", "to_mda_selection",
+]
+
+
+def _top(topology_path: str) -> Topology:
+    return Topology.from_file(topology_path)
+
+
+# -- discovery wrappers taking paths (reference signatures) -----------------
+
+def find_distances(topology_path, selection1, selection2, stride1, stride2,
+                   skip_neighbors, skip_bonded_atoms):
+    return _find_distances(
+        _top(topology_path), selection1, selection2, stride1, stride2,
+        skip_neighbors, skip_bonded_atoms,
+    )
+
+
+def find_dihedrals(topology_path, selection, search_mode):
+    return _find_dihedrals(_top(topology_path), selection, search_mode)
+
+
+def find_coordinates(topology_path, selection, stride):
+    return _find_coordinates(_top(topology_path), selection, stride)
+
+
+def get_distance_labels(topology_path, definition):
+    return _get_distance_labels(_top(topology_path), definition)
+
+
+def get_dihedral_labels(topology_path, definition):
+    return _get_dihedral_labels(_top(topology_path), definition)
+
+
+def get_coordinate_labels(topology_path, definition):
+    return _get_coordinate_labels(_top(topology_path), definition)
+
+
+# -- atom/selection helpers (cf. reference md.py:826-890, 1576-1606) --------
+
+def get_number_atoms(topology: str, selection: Optional[str] = None) -> int:
+    return len(_top(topology).select(selection))
+
+
+def get_indices(topology: str, selection: Optional[str] = None) -> List[int]:
+    """1-based indices, PLUMED convention."""
+    return _top(topology).indices_one_based(selection)
+
+
+def atom_entity_to_index(atom_entity: str, topology_path: str) -> int:
+    name = atom_entity.split("_")[0][1:]
+    resid = int(atom_entity.split("_")[1])
+    return _top(topology_path).atom_index(name, resid)
+
+
+# -- trajectory helpers -----------------------------------------------------
+
+def load_coordinates(
+    topology_file: str,
+    trajectory_file: str,
+    selection: str = "all",
+    prepare_trajectory: bool = False,
+    start: Optional[int] = None,
+    stop: Optional[int] = None,
+    step: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(frame_array, coords_array) like the reference md.py:892-946."""
+    top = _top(topology_file)
+    sel = top.select(selection)
+    coords = read_traj(
+        trajectory_file, topology_file,
+        start=start or 0, stop=stop, stride=step or 1,
+        selection_indices=sel,
+    )
+    frames = np.arange(coords.shape[0], dtype=np.float32)
+    return frames, coords
+
+
+def extract_PDB(trajectory_path, topology_path, pdb_frame, pdb_path):
+    extract_frames_to_pdb(trajectory_path, topology_path, pdb_frame, pdb_path)
+
+
+def extract_XTC(trajectory_path, topology_path, traj_frames, new_traj_path):
+    extract_frames_to_traj(
+        trajectory_path, topology_path, list(traj_frames), new_traj_path
+    )
+
+
+def find_supported_traj(parent_path, filename=None) -> List[str]:
+    if filename is None:
+        filename = "*"
+    files = glob.glob(os.path.join(parent_path, filename))
+    supported = [f for f in files if Path(f).suffix in SUPPORTED_TRAJ_FORMATS]
+    supported.sort()
+    return supported
+
+
+def find_supported_top(parent_path, filename=None) -> List[str]:
+    if filename is None:
+        filename = "*"
+    files = glob.glob(os.path.join(parent_path, filename))
+    supported = [f for f in files if Path(f).suffix in SUPPORTED_TOP_FORMATS]
+    supported.sort()
+    return supported

@@ -264,3 +264,33 @@ def save_data(
             header=f"{x_label},{y_label}",
             comments="",
         )
+
+
+def write_as_csv(dataframe, path: str) -> None:
+    """Append a DataFrame to a PLUMED-format file, continuing the time axis
+    (ns -> ps conversion; cf. reference common.py:506-551)."""
+    dataframe = dataframe.copy()
+    dataframe["time"] = dataframe["time"] * 1000
+    if not os.path.isfile(path):
+        header_line = "#! FIELDS " + " ".join(dataframe.columns)
+        with open(path, "w") as fh:
+            fh.write(header_line + "\n")
+    else:
+        with open(path) as fh:
+            last_line = fh.readlines()[-1]
+        last_time = float(last_line.split()[0])
+        # drop the repeated initial sample and continue the time axis
+        dataframe = dataframe.drop(dataframe.index[0])
+        dataframe["time"] = dataframe["time"] + last_time
+    dataframe.to_csv(
+        path, mode="a", header=False, index=False, sep=" ", float_format="%.6f"
+    )
+
+
+def create_dataset_from_dataframe(df, filter_args: Optional[dict] = None):
+    """Feature matrix (numpy) from a colvars DataFrame, dropping
+    labels/time/bias/walker columns (array-returning analog of the
+    reference's torch DictDataset helper, common.py:413-451)."""
+    data = df.filter(**filter_args) if filter_args is not None else df.copy()
+    data = data.filter(regex="^(?!.*labels)^(?!.*time)^(?!.*bias)^(?!.*walker)")
+    return data.to_numpy(dtype=np.float32)

@@ -11,7 +11,17 @@ setup(
     python_requires=">=3.10",
     entry_points={
         "console_scripts": [
+            # drop-in names matching the reference's console scripts
+            "deep_carto = deep_cartograph_tpu.cli:main",
             "deep_carto_tpu = deep_cartograph_tpu.cli:main",
+            "align_trajectories = deep_cartograph_tpu.tool_cli:align_trajectories_main",
+            "analyze_geometry = deep_cartograph_tpu.tool_cli:analyze_geometry_main",
+            "compute_features = deep_cartograph_tpu.tool_cli:compute_features_main",
+            "filter_features = deep_cartograph_tpu.tool_cli:filter_features_main",
+            "train_colvars = deep_cartograph_tpu.tool_cli:train_colvars_main",
+            "traj_augmentation = deep_cartograph_tpu.tool_cli:traj_augmentation_main",
+            "traj_cluster = deep_cartograph_tpu.tool_cli:traj_cluster_main",
+            "traj_projection = deep_cartograph_tpu.tool_cli:traj_projection_main",
         ]
     },
 )
