@@ -108,18 +108,22 @@ def main() -> None:
     _ = np.sqrt(np.einsum("fpc,fpc->fp", d, d)) * 0.1
     cpu_fps = sub / (time.time() - t0)
 
-    # ---- filtering: entropy + std on device, one pass ----
-    from deep_cartograph_tpu.stats.descriptors import _entropy_all, _std_all
+    # ---- filtering: entropy + std + compaction as ONE device program ----
+    from deep_cartograph_tpu.stats.descriptors import _entropy_all
 
-    _ = _std_all(features[:256]).block_until_ready()  # compile small
+    @jax.jit
+    def filter_stats(feats):
+        ent = _entropy_all(feats)
+        std = jnp.std(feats, axis=0)
+        thr = jnp.quantile(std, 0.5)
+        # device-side compaction via sort by mask (static shape: keep half)
+        keep_idx = jnp.argsort(std < thr)[: n_feat // 2]
+        return jnp.take(feats, keep_idx, axis=1), ent, std
+
+    filtered, ent, std = filter_stats(features)  # compile+run
+    filtered.block_until_ready()
     t0 = time.time()
-    ent = _entropy_all(features)
-    std = _std_all(features)
-    thr = jnp.quantile(std, 0.5)
-    keep_mask = std >= thr
-    # device-side compaction via sort by mask (static shape: keep half)
-    keep_idx = jnp.argsort(~keep_mask)[: n_feat // 2]
-    filtered = jnp.take(features, keep_idx, axis=1)
+    filtered, ent, std = filter_stats(features)
     filtered.block_until_ready()
     t_filter = time.time() - t0
 

@@ -54,6 +54,44 @@ def _kde_fes_device(samples, grid_points, bandwidth, kt, num_blocks: int):
     return fes, error
 
 
+def _kde_fes_streaming(
+    data: np.ndarray,
+    grid_points: np.ndarray,
+    bandwidth: float,
+    kt: float,
+    num_blocks: int,
+):
+    """Blockwise FES via the streaming Pallas logsumexp kernel.
+
+    Per-block log-densities combine exactly into the full-data estimate:
+    logsumexp over all samples = logsumexp_b(block_logsumexp_b).
+    """
+    from deep_cartograph_tpu.ops.pallas_kernels import kde_logsumexp
+
+    n = data.shape[0]
+    block_len = n // num_blocks
+    inv_two_bw2 = 1.0 / (2.0 * bandwidth * bandwidth)
+    block_lse = []
+    for b in range(num_blocks):
+        chunk = data[b * block_len : (b + 1) * block_len]
+        block_lse.append(
+            np.asarray(kde_logsumexp(jnp.asarray(grid_points), jnp.asarray(chunk), inv_two_bw2))
+        )
+    block_lse = np.stack(block_lse)  # (num_blocks, grid)
+    from scipy.special import logsumexp as _lse
+
+    full_logp = _lse(block_lse, axis=0) - np.log(n)
+    fes = -kt * full_logp
+    fes = fes - fes.min()
+    if num_blocks > 1:
+        fes_b = -kt * (block_lse - np.log(block_len))
+        fes_b = fes_b - fes_b.min(axis=1, keepdims=True)
+        error = fes_b.std(axis=0) / np.sqrt(num_blocks)
+    else:
+        error = None
+    return fes, error
+
+
 def compute_fes(
     data: np.ndarray,
     temperature: float = 300.0,
@@ -88,15 +126,23 @@ def compute_fes(
 
     num_blocks = max(1, min(num_blocks, n))
     n_trim = (n // num_blocks) * num_blocks
-    fes, error = _kde_fes_device(
-        jnp.asarray(data[:n_trim]),
-        jnp.asarray(grid_points),
-        jnp.float32(bandwidth),
-        jnp.float32(kt),
-        num_blocks,
-    )
-    fes = np.asarray(fes)
-    error = np.asarray(error) if num_blocks > 1 else None
+
+    if grid_points.shape[0] * n_trim > 50_000_000:
+        # Large problems: the streaming Pallas kernel never materializes the
+        # (grid, samples) matrix (see ops/pallas_kernels.kde_logsumexp).
+        fes, error = _kde_fes_streaming(
+            data[:n_trim], grid_points, bandwidth, kt, num_blocks
+        )
+    else:
+        fes, error = _kde_fes_device(
+            jnp.asarray(data[:n_trim]),
+            jnp.asarray(grid_points),
+            jnp.float32(bandwidth),
+            jnp.float32(kt),
+            num_blocks,
+        )
+        fes = np.asarray(fes)
+        error = np.asarray(error) if num_blocks > 1 else None
     if d == 2:
         fes = fes.reshape(num_bins, num_bins)
         if error is not None:

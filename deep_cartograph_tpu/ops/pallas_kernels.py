@@ -1,0 +1,187 @@
+"""Pallas TPU kernels for the bandwidth-bound hot ops.
+
+Two ops where hand-tiling beats the XLA default:
+
+1. pairwise_distance_matrix — per-frame all-pairs distances (dRMSD, contact
+   analysis, UMAP kNN). Formulated as |a|^2 + |b|^2 - 2 a.b so the cross
+   term rides the MXU; tiles are (8, 128)-aligned with coordinates laid out
+   (3, A) so atoms occupy the 128-lane axis.
+
+2. kde_logsumexp — KDE free-energy surfaces evaluate sum_j exp(-|g_i - x_j|^2
+   / 2h^2) over all samples for every grid point. The kernel streams sample
+   blocks through VMEM with a running (max, sum) online-logsumexp
+   accumulator, so the (grid, samples) matrix is never materialized in HBM.
+
+Both kernels run under interpret mode on CPU (tests) and compile with Mosaic
+on TPU. The gather-style featurization path intentionally stays in XLA — a
+dynamic gather per pair has no good VPU mapping, and XLA's fused
+gather+subtract+norm is already HBM-bound optimal (see geom/kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _is_cpu() -> bool:
+    return jax.devices()[0].platform == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# 1. All-pairs distance matrix
+# ---------------------------------------------------------------------------
+
+def _pairdist_kernel(a_ref, b_ref, out_ref):
+    """One (TA, TB) tile of the distance matrix for one frame.
+
+    a_ref: (1, 8, TA) — coords (padded channel axis) for the row tile
+    b_ref: (1, 8, TB) — coords for the column tile
+    out_ref: (1, TA, TB)
+    """
+    a = a_ref[0]  # (8, TA)
+    b = b_ref[0]  # (8, TB)
+    a2 = jnp.sum(a * a, axis=0, keepdims=True)          # (1, TA)
+    b2 = jnp.sum(b * b, axis=0, keepdims=True)          # (1, TB)
+    cross = jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # (TA, TB)
+    d2 = a2.T + b2 - 2.0 * cross
+    out_ref[0] = jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def pairwise_distance_matrix(coords: jnp.ndarray, tile: int = 128) -> jnp.ndarray:
+    """All-pairs Euclidean distances per frame via a tiled Pallas kernel.
+
+    coords: (F, A, 3) -> (F, A, A). A is padded to the tile size internally.
+    """
+    f, a, _ = coords.shape
+    a_pad = (a + tile - 1) // tile * tile
+    # Lay out as (F, 8, A_pad): channel axis padded to the fp32 sublane size
+    x = jnp.zeros((f, 8, a_pad), coords.dtype)
+    x = x.at[:, :3, :a].set(jnp.swapaxes(coords, 1, 2))
+
+    grid = (f, a_pad // tile, a_pad // tile)
+    out = pl.pallas_call(
+        _pairdist_kernel,
+        out_shape=jax.ShapeDtypeStruct((f, a_pad, a_pad), coords.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, tile), lambda fi, i, j: (fi, 0, i),
+                memory_space=pl.ANY if _is_cpu() else pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, tile), lambda fi, i, j: (fi, 0, j),
+                memory_space=pl.ANY if _is_cpu() else pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, tile), lambda fi, i, j: (fi, i, j),
+            memory_space=pl.ANY if _is_cpu() else pltpu.VMEM,
+        ),
+        interpret=_is_cpu(),
+    )(x, x)
+    return out[:, :a, :a]
+
+
+# ---------------------------------------------------------------------------
+# 2. Streaming KDE logsumexp
+# ---------------------------------------------------------------------------
+
+def _kde_kernel(grid_ref, samples_ref, out_ref, *, n_sample_blocks, block):
+    """Online logsumexp of -|g - x|^2 * inv_bw2 over all sample blocks.
+
+    grid_ref: (TG, 8) — grid points, channel-padded
+    samples_ref: (NS_pad, 8) — all samples resident (small D); streamed in
+                 blocks from VMEM/ANY
+    out_ref: (TG, 128) — column 0 holds the result (lane-padded)
+    """
+    g = grid_ref[...]  # (TG, 8)
+    tg = g.shape[0]
+
+    def body(k, carry):
+        m, s = carry
+        x = samples_ref[pl.ds(k * block, block), :]  # (block, 8)
+        # squared distances via MXU cross term
+        g2 = jnp.sum(g * g, axis=1, keepdims=True)          # (TG, 1)
+        x2 = jnp.sum(x * x, axis=1, keepdims=True)          # (block, 1)
+        cross = jax.lax.dot_general(
+            g, x, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # (TG, block)
+        logk = -(g2 + x2.T - 2.0 * cross)                   # scaled outside
+        block_max = jnp.max(logk, axis=1, keepdims=True)
+        new_m = jnp.maximum(m, block_max)
+        s = s * jnp.exp(m - new_m) + jnp.sum(
+            jnp.exp(logk - new_m), axis=1, keepdims=True
+        )
+        return new_m, s
+
+    m0 = jnp.full((tg, 1), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((tg, 1), jnp.float32)
+    m, s = jax.lax.fori_loop(0, n_sample_blocks, body, (m0, s0))
+    result = m + jnp.log(jnp.maximum(s, 1e-38))             # (TG, 1)
+    out_ref[...] = jnp.broadcast_to(result, (tg, 128))
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "sample_block"))
+def kde_logsumexp(
+    grid_points: jnp.ndarray,
+    samples: jnp.ndarray,
+    inv_two_bw2: float,
+    tile: int = 256,
+    sample_block: int = 2048,
+) -> jnp.ndarray:
+    """log sum_j exp(-|g_i - x_j|^2 / (2 bw^2)) for all grid points.
+
+    grid_points: (G, D), samples: (N, D) with D <= 8. Returns (G,).
+    Distances are pre-scaled by sqrt(inv_two_bw2) so the kernel computes a
+    plain squared distance.
+    """
+    g, d = grid_points.shape
+    n = samples.shape[0]
+    scale = jnp.sqrt(jnp.asarray(inv_two_bw2, jnp.float32))
+
+    g_pad = (g + tile - 1) // tile * tile
+    n_pad = (n + sample_block - 1) // sample_block * sample_block
+    gp = jnp.zeros((g_pad, 8), jnp.float32)
+    gp = gp.at[:g, :d].set(grid_points.astype(jnp.float32) * scale)
+    # Padded channels are zero on both sides (no distance contribution);
+    # padded sample ROWS are pushed far away in channel 0 so exp(-d2) = 0.
+    sp = jnp.zeros((n_pad, 8), jnp.float32)
+    sp = sp.at[:n, :d].set(samples.astype(jnp.float32) * scale)
+    sp = sp.at[n:, 0].set(1e4)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kde_kernel,
+            n_sample_blocks=n_pad // sample_block,
+            block=sample_block,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g_pad, 128), jnp.float32),
+        grid=(g_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile, 8), lambda i: (i, 0),
+                memory_space=pl.ANY if _is_cpu() else pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_pad, 8), lambda i: (0, 0),
+                memory_space=pl.ANY if _is_cpu() else pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, 128), lambda i: (i, 0),
+            memory_space=pl.ANY if _is_cpu() else pltpu.VMEM,
+        ),
+        interpret=_is_cpu(),
+    )(gp, sp)
+    return out[:g, 0]
