@@ -75,9 +75,7 @@ def RMSD(
     from deep_cartograph_tpu.geom.kernels import kabsch_rotation
 
     R, mc, rc = kabsch_rotation(mobile_fit, ref_fit)
-    # Apply the fit transform to the analysis atoms
-    mc_full = jnp.mean(mobile_fit, axis=-2, keepdims=True)
-    # centroids consistent with kabsch_rotation (uniform weights)
+    # Apply the fit transform (fit-selection centroids) to the analysis atoms
     aligned_ana = (mobile_ana - mc) @ jnp.swapaxes(R, -1, -2) + rc
     diff = aligned_ana - ref_ana
     return np.asarray(jnp.sqrt(jnp.mean(jnp.sum(diff * diff, -1), axis=-1)))
