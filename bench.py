@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -70,13 +71,19 @@ def main() -> None:
     ii, jj = np.triu_indices(N_ATOMS, k=2)
     pairs = np.stack([ii, jj], 1).astype(np.int32)
     n_feat = pairs.shape[0]
-    pairs_d = jnp.asarray(pairs)
+    # Pair selection as one-hot matmuls: at bench atom counts the (P, A)
+    # selectors are tiny, the gather becomes an MXU matmul, and the XLA
+    # program compiles orders of magnitude faster than a dynamic gather
+    # through this environment's remote-compile service.
+    sel_a = np.zeros((n_feat, N_ATOMS), np.float32)
+    sel_b = np.zeros((n_feat, N_ATOMS), np.float32)
+    sel_a[np.arange(n_feat), ii] = 1.0
+    sel_b[np.arange(n_feat), jj] = 1.0
+    sel_diff = jnp.asarray(sel_a - sel_b)
 
     @jax.jit
     def featurize(coords):
-        pa = jnp.take(coords, pairs_d[:, 0], axis=1)
-        pb = jnp.take(coords, pairs_d[:, 1], axis=1)
-        d = pa - pb
+        d = jnp.einsum("pa,fad->fpd", sel_diff, coords)
         return jnp.sqrt(jnp.sum(d * d, -1)) * 0.1  # nm
 
     @jax.jit
@@ -84,7 +91,9 @@ def main() -> None:
         return featurize(gen_coords(frame_ids))
 
     # warmup / compile
+    t0 = time.time()
     _ = gen_and_featurize(jnp.arange(CHUNK)).block_until_ready()
+    print(f"[bench] featurize compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     # ---- featurization throughput (device-resident output) ----
     n_chunks = (N_FRAMES + CHUNK - 1) // CHUNK
@@ -120,8 +129,10 @@ def main() -> None:
         keep_idx = jnp.argsort(std < thr)[: n_feat // 2]
         return jnp.take(feats, keep_idx, axis=1), ent, std
 
+    t0 = time.time()
     filtered, ent, std = filter_stats(features)  # compile+run
     filtered.block_until_ready()
+    print(f"[bench] filter compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     filtered, ent, std = filter_stats(features)
     filtered.block_until_ready()
@@ -177,8 +188,10 @@ def main() -> None:
         return params, opt_state, jnp.mean(losses)
 
     key = jax.random.PRNGKey(0)
+    t0 = time.time()
     params, opt_state, _ = epoch(params, opt_state, key)  # compile
     jax.block_until_ready(params)
+    print(f"[bench] epoch compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     loss = None
     for e in range(TRAIN_EPOCHS):

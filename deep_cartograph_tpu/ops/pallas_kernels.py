@@ -40,19 +40,16 @@ def _is_cpu() -> bool:
 def _pairdist_kernel(a_ref, b_ref, out_ref):
     """One (TA, TB) tile of the distance matrix for one frame.
 
-    a_ref: (1, 8, TA) — coords (padded channel axis) for the row tile
-    b_ref: (1, 8, TB) — coords for the column tile
+    a_ref: (1, TA, 8) — row-tile coords, channel-padded (canonical M,K)
+    b_ref: (1, 8, TB) — column-tile coords, channel-major (canonical K,N)
     out_ref: (1, TA, TB)
     """
-    a = a_ref[0]  # (8, TA)
+    a = a_ref[0]  # (TA, 8)
     b = b_ref[0]  # (8, TB)
-    a2 = jnp.sum(a * a, axis=0, keepdims=True)          # (1, TA)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)          # (TA, 1)
     b2 = jnp.sum(b * b, axis=0, keepdims=True)          # (1, TB)
-    cross = jax.lax.dot_general(
-        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                    # (TA, TB)
-    d2 = a2.T + b2 - 2.0 * cross
+    cross = jnp.dot(a, b, preferred_element_type=jnp.float32)  # (TA, TB)
+    d2 = a2 + b2 - 2.0 * cross
     out_ref[0] = jnp.sqrt(jnp.maximum(d2, 0.0))
 
 
@@ -64,9 +61,12 @@ def pairwise_distance_matrix(coords: jnp.ndarray, tile: int = 128) -> jnp.ndarra
     """
     f, a, _ = coords.shape
     a_pad = (a + tile - 1) // tile * tile
-    # Lay out as (F, 8, A_pad): channel axis padded to the fp32 sublane size
-    x = jnp.zeros((f, 8, a_pad), coords.dtype)
-    x = x.at[:, :3, :a].set(jnp.swapaxes(coords, 1, 2))
+    # Two layouts: rows as (F, A_pad, 8) [atoms on sublanes], columns as
+    # (F, 8, A_pad) [atoms on lanes] so the cross term is a canonical matmul.
+    x_rows = jnp.zeros((f, a_pad, 8), coords.dtype)
+    x_rows = x_rows.at[:, :a, :3].set(coords)
+    x_cols = jnp.zeros((f, 8, a_pad), coords.dtype)
+    x_cols = x_cols.at[:, :3, :a].set(jnp.swapaxes(coords, 1, 2))
 
     grid = (f, a_pad // tile, a_pad // tile)
     out = pl.pallas_call(
@@ -75,7 +75,7 @@ def pairwise_distance_matrix(coords: jnp.ndarray, tile: int = 128) -> jnp.ndarra
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 8, tile), lambda fi, i, j: (fi, 0, i),
+                (1, tile, 8), lambda fi, i, j: (fi, i, 0),
                 memory_space=pl.ANY if _is_cpu() else pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -88,7 +88,7 @@ def pairwise_distance_matrix(coords: jnp.ndarray, tile: int = 128) -> jnp.ndarra
             memory_space=pl.ANY if _is_cpu() else pltpu.VMEM,
         ),
         interpret=_is_cpu(),
-    )(x, x)
+    )(x_rows, x_cols)
     return out[:, :a, :a]
 
 
@@ -100,7 +100,7 @@ def _kde_kernel(grid_ref, samples_ref, out_ref, *, n_sample_blocks, block):
     """Online logsumexp of -|g - x|^2 * inv_bw2 over all sample blocks.
 
     grid_ref: (TG, 8) — grid points, channel-padded
-    samples_ref: (NS_pad, 8) — all samples resident (small D); streamed in
+    samples_ref: (8, NS_pad) — channel-major samples; streamed in lane
                  blocks from VMEM/ANY
     out_ref: (TG, 128) — column 0 holds the result (lane-padded)
     """
@@ -109,15 +109,12 @@ def _kde_kernel(grid_ref, samples_ref, out_ref, *, n_sample_blocks, block):
 
     def body(k, carry):
         m, s = carry
-        x = samples_ref[pl.ds(k * block, block), :]  # (block, 8)
-        # squared distances via MXU cross term
+        x = samples_ref[:, pl.ds(k * block, block)]  # (8, block)
+        # squared distances via MXU cross term (canonical matmul)
         g2 = jnp.sum(g * g, axis=1, keepdims=True)          # (TG, 1)
-        x2 = jnp.sum(x * x, axis=1, keepdims=True)          # (block, 1)
-        cross = jax.lax.dot_general(
-            g, x, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                   # (TG, block)
-        logk = -(g2 + x2.T - 2.0 * cross)                   # scaled outside
+        x2 = jnp.sum(x * x, axis=0, keepdims=True)          # (1, block)
+        cross = jnp.dot(g, x, preferred_element_type=jnp.float32)  # (TG, block)
+        logk = -(g2 + x2 - 2.0 * cross)                     # scaled outside
         block_max = jnp.max(logk, axis=1, keepdims=True)
         new_m = jnp.maximum(m, block_max)
         s = s * jnp.exp(m - new_m) + jnp.sum(
@@ -156,9 +153,9 @@ def kde_logsumexp(
     gp = gp.at[:g, :d].set(grid_points.astype(jnp.float32) * scale)
     # Padded channels are zero on both sides (no distance contribution);
     # padded sample ROWS are pushed far away in channel 0 so exp(-d2) = 0.
-    sp = jnp.zeros((n_pad, 8), jnp.float32)
-    sp = sp.at[:n, :d].set(samples.astype(jnp.float32) * scale)
-    sp = sp.at[n:, 0].set(1e4)
+    sp = jnp.zeros((8, n_pad), jnp.float32)
+    sp = sp.at[:d, :n].set(samples.astype(jnp.float32).T * scale)
+    sp = sp.at[0, n:].set(1e4)
 
     out = pl.pallas_call(
         functools.partial(
@@ -174,7 +171,7 @@ def kde_logsumexp(
                 memory_space=pl.ANY if _is_cpu() else pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_pad, 8), lambda i: (0, 0),
+                (8, n_pad), lambda i: (0, 0),
                 memory_space=pl.ANY if _is_cpu() else pltpu.VMEM,
             ),
         ],
