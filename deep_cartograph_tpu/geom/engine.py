@@ -105,6 +105,33 @@ class Featurizer:
         return result
 
 
+    def featurize_frames_sharded(self, coords: np.ndarray, mesh=None):
+        """Featurize a frame batch with the frame axis sharded over the mesh.
+
+        Each device evaluates its shard of frames through the same compiled
+        plan; the output stays frame-sharded on device (callers psum/reduce
+        or gather as needed). This is the pod-scale path (SURVEY §2.5
+        'sequence parallelism' = frame-axis sharding).
+        """
+        import jax
+
+        from deep_cartograph_tpu.parallel.mesh import (
+            frame_sharding,
+            get_mesh,
+            pad_to_multiple,
+        )
+
+        mesh = mesh or get_mesh()
+        n_dev = mesh.devices.size
+        padded, n = pad_to_multiple(np.asarray(coords, np.float32), n_dev)
+        sharding = frame_sharding(mesh)
+        frames_d = jax.device_put(padded, sharding)
+        out = jax.jit(self.evaluator.device_fn(), out_shardings=sharding)(
+            frames_d
+        )
+        return out, n
+
+
 def featurize_trajectory(
     trajectory_path: str,
     topology_path: str,

@@ -46,11 +46,13 @@ def _pairdist_kernel(a_ref, b_ref, out_ref):
     """
     a = a_ref[0]  # (TA, 8)
     b = b_ref[0]  # (8, TB)
-    a2 = jnp.sum(a * a, axis=1, keepdims=True)          # (TA, 1)
-    b2 = jnp.sum(b * b, axis=0, keepdims=True)          # (1, TB)
-    cross = jnp.dot(a, b, preferred_element_type=jnp.float32)  # (TA, TB)
-    d2 = a2 + b2 - 2.0 * cross
-    out_ref[0] = jnp.sqrt(jnp.maximum(d2, 0.0))
+    # Channel-wise broadcast accumulation on the VPU: exact f32. (The MXU
+    # path routes tiny-K matmuls through bf16 on this backend, costing ~1e-2
+    # relative error; with K<=8 the MXU offers no speedup either.)
+    d2 = (a[:, 0:1] - b[0:1, :]) ** 2
+    for c in range(1, 8):
+        d2 = d2 + (a[:, c : c + 1] - b[c : c + 1, :]) ** 2
+    out_ref[0] = jnp.sqrt(d2)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -110,11 +112,11 @@ def _kde_kernel(grid_ref, samples_ref, out_ref, *, n_sample_blocks, block):
     def body(k, carry):
         m, s = carry
         x = samples_ref[:, pl.ds(k * block, block)]  # (8, block)
-        # squared distances via MXU cross term (canonical matmul)
-        g2 = jnp.sum(g * g, axis=1, keepdims=True)          # (TG, 1)
-        x2 = jnp.sum(x * x, axis=0, keepdims=True)          # (1, block)
-        cross = jnp.dot(g, x, preferred_element_type=jnp.float32)  # (TG, block)
-        logk = -(g2 + x2 - 2.0 * cross)                     # scaled outside
+        # Channel-wise VPU broadcast accumulation (exact f32; see pairdist)
+        d2 = (g[:, 0:1] - x[0:1, :]) ** 2
+        for c in range(1, 8):
+            d2 = d2 + (g[:, c : c + 1] - x[c : c + 1, :]) ** 2
+        logk = -d2                                          # scaled outside
         block_max = jnp.max(logk, axis=1, keepdims=True)
         new_m = jnp.maximum(m, block_max)
         s = s * jnp.exp(m - new_m) + jnp.sum(

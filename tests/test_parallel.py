@@ -93,3 +93,18 @@ def test_tica_recovers_slow_mode(rng):
     proj = (mixed - mixed.mean(0)) @ evecs[:, 0]
     corr = np.corrcoef(proj, slow)[0, 1]
     assert abs(corr) > 0.95
+
+
+def test_sharded_featurization_matches_single(ca_system):
+    from deep_cartograph_tpu.geom.engine import Featurizer
+    from deep_cartograph_tpu.io.topology import Topology
+
+    top = Topology.from_pdb(ca_system.pdb_path)
+    labels = ["dist-@CA_1-@CA_5", "sin-@CA_1-@CA_2-@CA_3-@CA_4",
+              "cos-@CA_1-@CA_2-@CA_3-@CA_4"]
+    featurizer = Featurizer(top, labels)
+    single = featurizer(ca_system.coords)
+    sharded, n = featurizer.featurize_frames_sharded(
+        ca_system.coords, get_mesh()
+    )
+    np.testing.assert_allclose(np.asarray(sharded)[:n], single, atol=1e-5)
