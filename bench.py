@@ -171,32 +171,35 @@ def main() -> None:
         evals, _ = generalized_eigh(ctau, c0, 1e-5)
         return -jnp.sum(evals)
 
+    # One jitted train STEP (not a scanned epoch): keeps the serialized HLO
+    # small enough for this environment's remote-compile service; per-step
+    # dispatch latency is ~0.1 ms so the Python batch loop costs nothing.
+    # NOTE: the feature matrix is passed as an argument — a closed-over
+    # device array would be embedded as an HLO constant (hundreds of MB).
     @jax.jit
-    def epoch(params, opt_state, key):
-        perm = jax.random.permutation(key, n_pairs)[: n_batches * BATCH]
-        perm = perm.reshape(n_batches, BATCH)
-
-        def body(carry, idx):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, x_t[idx], x_lag[idx]
-            )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), perm)
-        return params, opt_state, jnp.mean(losses)
+    def step(params, opt_state, xt, xl, idx):
+        loss, grads = jax.value_and_grad(loss_fn)(params, xt[idx], xl[idx])
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    params, opt_state, _ = epoch(params, opt_state, key)  # compile
+    params, opt_state, _ = step(
+        params, opt_state, x_t, x_lag, jnp.arange(BATCH)
+    )  # compile
     jax.block_until_ready(params)
-    print(f"[bench] epoch compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    print(f"[bench] step compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     loss = None
+    host_rng = np.random.default_rng(0)
     for e in range(TRAIN_EPOCHS):
-        key, sub_key = jax.random.split(key)
-        params, opt_state, loss = epoch(params, opt_state, sub_key)
+        perm = host_rng.permutation(n_pairs)[: n_batches * BATCH].reshape(
+            n_batches, BATCH
+        )
+        for b in range(n_batches):
+            params, opt_state, loss = step(
+                params, opt_state, x_t, x_lag, jnp.asarray(perm[b])
+            )
     jax.block_until_ready(params)
     t_epoch = (time.time() - t0) / TRAIN_EPOCHS
 
