@@ -146,6 +146,7 @@ def rmsd_per_frame(
 
 def _evaluate_plan_chunk(
     coords: jnp.ndarray,
+    dist_selector,
     dist_pairs: jnp.ndarray,
     dist_center_a: jnp.ndarray,
     dist_center_b: jnp.ndarray,
@@ -170,7 +171,19 @@ def _evaluate_plan_chunk(
         coords = kabsch_align(coords, fit_reference, fit_weights)
 
     n_dist = dist_pairs.shape[0]
-    if n_dist:
+    if n_dist and dist_selector is not None:
+        # Matmul strategy: the pair difference is one MXU contraction with a
+        # (P, A) +1/-1 selector — no dynamic gather in the program. Exact in
+        # f32 and far cheaper to compile on remote-compile backends.
+        diff = jnp.einsum(
+            "pa,fad->fpd",
+            dist_selector,
+            coords[..., : dist_selector.shape[1], :],
+            preferred_element_type=coords.dtype,
+        )
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1)) * ANGSTROM_TO_NM
+        out = out.at[:, dist_out].set(d)
+    elif n_dist:
         pa = jnp.take(coords, dist_pairs[:, 0], axis=-2)
         pb = jnp.take(coords, dist_pairs[:, 1], axis=-2)
         if center_atoms.shape[0] and (
@@ -227,6 +240,7 @@ class PlanEvaluator:
         fit_reference: Optional[np.ndarray] = None,
         fit_weights: Optional[np.ndarray] = None,
         dtype=jnp.float32,
+        gather_strategy: str = "auto",
     ):
         self.plan = plan
         self.dtype = dtype
@@ -237,6 +251,30 @@ class PlanEvaluator:
             jnp.asarray(fit_weights, dtype) if fit_weights is not None else None
         )
         self._dist_pairs = jnp.asarray(plan.dist_pairs.reshape(-1, 2))
+        # Gather strategy: one-hot +1/-1 selector matmul when small enough
+        # and no center entities are involved (auto), else dynamic gather.
+        n_dist = plan.dist_pairs.reshape(-1, 2).shape[0]
+        n_atoms_total = int(plan.dist_pairs.max() + 1) if n_dist else 0
+        has_centers = bool(
+            np.any(plan.dist_center_a >= 0) or np.any(plan.dist_center_b >= 0)
+        )
+        use_matmul = (
+            gather_strategy == "matmul"
+            or (
+                gather_strategy == "auto"
+                and n_dist > 0
+                and not has_centers
+                and n_dist * max(n_atoms_total, 1) <= 50_000_000
+            )
+        )
+        if use_matmul and n_dist and not has_centers:
+            sel = np.zeros((n_dist, n_atoms_total), np.float32)
+            rows = np.arange(n_dist)
+            sel[rows, plan.dist_pairs[:, 0]] += 1.0
+            sel[rows, plan.dist_pairs[:, 1]] -= 1.0
+            self._dist_selector = jnp.asarray(sel, dtype)
+        else:
+            self._dist_selector = None
         self._dihedral_quads = jnp.asarray(plan.dihedral_quads.reshape(-1, 4))
         self._coord_atoms = jnp.asarray(plan.coord_atoms)
         self._coord_axes = jnp.asarray(plan.coord_axes)
@@ -256,6 +294,7 @@ class PlanEvaluator:
         self._jitted = jax.jit(
             lambda coords: fn(
                 coords,
+                dist_selector=self._dist_selector,
                 dist_pairs=self._dist_pairs,
                 dihedral_quads=self._dihedral_quads,
                 coord_atoms=self._coord_atoms,

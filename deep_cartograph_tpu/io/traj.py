@@ -75,6 +75,14 @@ def read_traj(
         from deep_cartograph_tpu.io.gro import read_gro_frames
 
         coords = read_gro_frames(trajectory_path)[start:stop:stride]
+    elif suffix == ".crd":
+        from deep_cartograph_tpu.io.crd import read_crd
+        from deep_cartograph_tpu.io.topology import Topology
+
+        if topology_path is None:
+            raise ValueError("Reading .crd trajectories requires a topology")
+        n_atoms = Topology.from_file(topology_path).n_atoms
+        coords = read_crd(trajectory_path, n_atoms)[start:stop:stride]
     else:
         raise ValueError(f"Unsupported trajectory format: {trajectory_path}")
 
@@ -112,6 +120,10 @@ def write_traj(
         if topology is None:
             raise ValueError("Writing PDB trajectories requires a topology")
         _write_pdb_frames(path, coords, topology)
+    elif suffix == ".crd":
+        from deep_cartograph_tpu.io.crd import write_crd
+
+        write_crd(path, coords)
     else:
         raise ValueError(f"Unsupported output trajectory format: {path}")
 

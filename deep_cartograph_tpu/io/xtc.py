@@ -70,25 +70,6 @@ def write_xtc(
             fh.write(out_buf[:n].tobytes())
 
 
-def _iter_frames(data: bytes):
-    """Yield (n_atoms, offset_of_coord_section, header_dict) per frame."""
-    off = 0
-    while off < len(data):
-        if off + 56 > len(data):
-            break
-        magic, natoms, step = struct.unpack_from(">iii", data, off)
-        if magic != _MAGIC:
-            raise XTCError(f"Bad XTC magic {magic} at offset {off}")
-        (t,) = struct.unpack_from(">f", data, off + 12)
-        lsize_off = off + 16 + 36  # header + box
-        (lsize,) = struct.unpack_from(">i", data, lsize_off)
-        coord_off = lsize_off + 4
-        yield natoms, lsize, coord_off, off
-        # caller advances; generator re-entered with .send? -> simpler: the
-        # consumed size is computed by the caller and the generator recreated.
-        return
-
-
 def read_xtc(
     path: str,
     start: int = 0,

@@ -148,3 +148,18 @@ def test_topology_mapper_and_translator(ca_system, tmp_path):
     # untranslatable -> None
     translated = Translator(ca_system.pdb_path, shifted, ["dist-@CA_1-@CA_99"]).run()
     assert translated == [None]
+
+
+def test_matmul_gather_strategies_agree(ca_system):
+    """The one-hot selector matmul path must match the dynamic gather path."""
+    top = Topology.from_pdb(ca_system.pdb_path)
+    labels = [
+        "dist-@CA_1-@CA_5",
+        "dist-@CA_2-@CA_9",
+        "dist-@CA_3-@CA_12",
+        "sin-@CA_1-@CA_2-@CA_3-@CA_4",
+    ]
+    plan = compile_plan(labels, top)
+    gather = PlanEvaluator(plan, gather_strategy="gather")(ca_system.coords)
+    matmul = PlanEvaluator(plan, gather_strategy="matmul")(ca_system.coords)
+    np.testing.assert_allclose(matmul, gather, atol=1e-5)

@@ -105,3 +105,16 @@ def test_colvars_check_rejects_nan(tmp_path):
     write_colvars(path, data, ["time", "x"])
     with pytest.raises(SystemExit):
         check(path)
+
+
+def test_crd_roundtrip(tmp_path, rng, ca_system):
+    from deep_cartograph_tpu.io.crd import read_crd, write_crd
+
+    coords = (rng.standard_normal((4, 12, 3)) * 9).astype(np.float32)
+    path = str(tmp_path / "t.crd")
+    write_crd(path, coords)
+    back = read_crd(path, 12)
+    np.testing.assert_allclose(back, coords, atol=1e-3)
+    # via dispatch (needs topology for atom count)
+    back2 = read_traj(path, ca_system.pdb_path)
+    np.testing.assert_allclose(back2, coords, atol=1e-3)
