@@ -1,0 +1,146 @@
+"""Compatibility tests: reference-layout model zips and the traj_projection
+workflow (the reference's checkpoint/restore round-trip, cf.
+tests/test_traj_projection.py in the reference)."""
+
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from deep_cartograph_tpu.cv.base import CVCalculator
+from deep_cartograph_tpu.io.colvars import write_colvars
+
+
+@pytest.fixture()
+def colvars_file(tmp_path, ca_system, rng):
+    labels = ["dist-@CA_1-@CA_5", "dist-@CA_2-@CA_7", "dist-@CA_3-@CA_9"]
+    data = rng.standard_normal((50, 3)).astype(np.float32) * 0.2 + 0.8
+    path = str(tmp_path / "colvars.dat")
+    time_col = np.arange(50, dtype=np.float32)
+    write_colvars(path, np.column_stack([time_col, data]), ["time"] + labels)
+    return path, labels, data
+
+
+def _make_reference_style_linear_zip(tmp_path, ca_system, labels):
+    """Model zip with exactly the reference's linear layout
+    (cv_calculator.py:853-892): metadata.json, features_labels.txt,
+    ref_topology.pdb, cv_weights.npy, cv/features norm params."""
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    n = len(labels)
+    weights = np.asarray([[1.0, 0.0], [0.0, 1.0], [0.5, -0.5]], np.float64)
+    with open(model_dir / "metadata.json", "w") as fh:
+        json.dump({"cv_name": "pca", "cv_dimension": 2}, fh)
+    with open(model_dir / "features_labels.txt", "w") as fh:
+        fh.write("\n".join(labels) + "\n")
+    import shutil
+
+    shutil.copy(ca_system.pdb_path, model_dir / "ref_topology.pdb")
+    np.save(model_dir / "cv_weights.npy", weights)
+    np.save(model_dir / "cv_norm_mean.npy", np.zeros(2))
+    np.save(model_dir / "cv_norm_range.npy", np.ones(2))
+    np.save(model_dir / "features_norm_mean.npy", np.zeros(n))
+    np.save(model_dir / "features_norm_range.npy", np.ones(n))
+
+    zip_path = str(tmp_path / "ref_model.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for f in model_dir.iterdir():
+            zf.write(f, arcname=f"model/{f.name}")
+    return zip_path, weights
+
+
+def test_load_reference_style_linear_zip(tmp_path, ca_system, colvars_file):
+    colvars_path, labels, data = colvars_file
+    zip_path, weights = _make_reference_style_linear_zip(
+        tmp_path, ca_system, labels
+    )
+    calc = CVCalculator.load(zip_path, str(tmp_path / "out"))
+    assert calc.cv_name == "pca"
+    assert calc.features_ref_labels == labels
+    projected = calc.project_colvars([colvars_path], [ca_system.pdb_path])
+    expected = data @ weights
+    np.testing.assert_allclose(projected.to_numpy(), expected, atol=2e-4)
+
+
+def test_load_torchscript_only_deep_zip(tmp_path, ca_system, colvars_file):
+    """Zips holding only TorchScript weights (as produced by the reference's
+    deep calculators) load through the torch fallback projector."""
+    import torch
+
+    colvars_path, labels, data = colvars_file
+    model_dir = tmp_path / "tmodel"
+    model_dir.mkdir()
+
+    class TinyCV(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.linear = torch.nn.Linear(3, 2)
+            with torch.no_grad():
+                self.linear.weight.copy_(
+                    torch.tensor([[1.0, 0.0, 0.5], [0.0, 1.0, -0.5]])
+                )
+                self.linear.bias.zero_()
+
+        def forward(self, x):
+            return torch.tanh(self.linear(x))
+
+    traced = torch.jit.trace(TinyCV().eval(), torch.zeros(1, 3))
+    traced.save(str(model_dir / "cv_weights.pt"))
+    with open(model_dir / "metadata.json", "w") as fh:
+        json.dump({"cv_name": "ae", "cv_dimension": 2}, fh)
+    with open(model_dir / "features_labels.txt", "w") as fh:
+        fh.write("\n".join(labels) + "\n")
+    import shutil
+
+    shutil.copy(ca_system.pdb_path, model_dir / "ref_topology.pdb")
+    zip_path = str(tmp_path / "ts_model.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for f in model_dir.iterdir():
+            zf.write(f, arcname=f"model/{f.name}")
+
+    calc = CVCalculator.load(zip_path, str(tmp_path / "out2"))
+    projected = calc.project_colvars([colvars_path], [ca_system.pdb_path])
+    expected = np.tanh(
+        data @ np.array([[1.0, 0.0], [0.0, 1.0], [0.5, -0.5]], np.float32)
+    )
+    np.testing.assert_allclose(projected.to_numpy(), expected, atol=2e-4)
+
+
+def test_traj_projection_workflow(tmp_path, ca_system, colvars_file):
+    """Full traj_projection tool over a saved model (restore round-trip)."""
+    from deep_cartograph_tpu.tools.traj_projection import traj_projection
+
+    colvars_path, labels, data = colvars_file
+    zip_path, weights = _make_reference_style_linear_zip(
+        tmp_path, ca_system, labels
+    )
+    out = str(tmp_path / "proj")
+    result = traj_projection(
+        configuration={},
+        colvars_paths=[colvars_path],
+        topologies=[ca_system.pdb_path],
+        model_paths=[zip_path],
+        trajectory_names=["mytraj"],
+        output_folder=out,
+    )
+    proj_csv = os.path.join(out, "pca", "mytraj", "projected_trajectory.csv")
+    assert os.path.exists(proj_csv)
+    assert result["pca"]["traj_paths"] == [proj_csv]
+    import pandas as pd
+
+    df = pd.read_csv(proj_csv)
+    np.testing.assert_allclose(
+        df.to_numpy(), data @ weights, atol=1e-3
+    )
+    # Re-run: restart skip
+    result2 = traj_projection(
+        configuration={},
+        colvars_paths=[colvars_path],
+        topologies=[ca_system.pdb_path],
+        model_paths=[zip_path],
+        trajectory_names=["mytraj"],
+        output_folder=out,
+    )
+    assert result2["pca"]["traj_paths"] == [proj_csv]
