@@ -10,21 +10,37 @@ import sys
 
 
 def set_logger(verbose: bool, log_path: str) -> None:
-    """File + console logging (cf. reference set_logger, deep_carto.py:369-412
-    and log_config/*.ini)."""
-    level = logging.DEBUG if verbose else logging.INFO
-    root = logging.getLogger("deep_cartograph_tpu")
-    root.setLevel(level)
-    root.handlers.clear()
-    fmt = logging.Formatter(
-        "%(asctime)s - %(name)s - %(levelname)s - %(message)s"
+    """File + console logging from the INI pair in log_config/ with
+    %(log_path)s substitution (cf. reference set_logger,
+    deep_carto.py:369-412 and log_config/*.ini). Falls back to programmatic
+    configuration if the INI files are unavailable."""
+    import logging.config
+
+    package_dir = os.path.dirname(os.path.abspath(__file__))
+    ini = os.path.join(
+        package_dir,
+        "log_config",
+        "debug_configuration.ini" if verbose else "info_configuration.ini",
     )
-    console = logging.StreamHandler(sys.stdout)
-    console.setFormatter(fmt)
-    root.addHandler(console)
-    file_handler = logging.FileHandler(log_path)
-    file_handler.setFormatter(fmt)
-    root.addHandler(file_handler)
+    if os.path.exists(ini):
+        logging.config.fileConfig(
+            ini, defaults={"log_path": log_path}, disable_existing_loggers=False
+        )
+        root = logging.getLogger("deep_cartograph_tpu")
+    else:
+        level = logging.DEBUG if verbose else logging.INFO
+        root = logging.getLogger("deep_cartograph_tpu")
+        root.setLevel(level)
+        root.handlers.clear()
+        fmt = logging.Formatter(
+            "%(asctime)s - %(name)s - %(levelname)s - %(message)s"
+        )
+        console = logging.StreamHandler(sys.stdout)
+        console.setFormatter(fmt)
+        root.addHandler(console)
+        file_handler = logging.FileHandler(log_path)
+        file_handler.setFormatter(fmt)
+        root.addHandler(file_handler)
     root.info(
         "Deep Cartograph TPU: package for analyzing MD simulations using "
         "collective variables."

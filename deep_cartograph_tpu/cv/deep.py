@@ -257,6 +257,7 @@ class NonLinear(CVCalculator):
                 params = self.init_params(rng, train_data)
                 trainer = Trainer(self.loss_fn, config)
                 result = trainer.fit(params, train_data, valid_data, seed)
+                self._save_try_checkpoint(result, try_num)
                 if not self._validate_result(result):
                     continue
                 score = float(result.score)
@@ -289,6 +290,25 @@ class NonLinear(CVCalculator):
             "Best model score across %d tries: %.5f", self.num_tries, best_global
         )
         return True
+
+    def _save_try_checkpoint(self, result: TrainResult, try_num: int) -> None:
+        """Persist the selected model of each try under
+        training/checkpoints/try_N/ (layout parity with the reference's
+        per-try ModelCheckpoint dirs, cv_calculator.py:1441-1452)."""
+        import flax.serialization
+
+        try:
+            folder = os.path.join(
+                str(self.training_output_folder), "checkpoints", f"try_{try_num}"
+            )
+            os.makedirs(folder, exist_ok=True)
+            with open(os.path.join(folder, "model.msgpack"), "wb") as fh:
+                fh.write(flax.serialization.to_bytes(result.params))
+            with open(os.path.join(folder, "score.txt"), "w") as fh:
+                fh.write(f"{result.score:.7g} ({result.description}, "
+                         f"epoch {result.best_epoch})\n")
+        except Exception as exc:  # checkpointing must never kill training
+            logger.warning("Could not save try checkpoint: %s", exc)
 
     def _validate_result(self, result: TrainResult) -> bool:
         """Subclass hook for sanity bounds (DeepTICA loss >= -dim)."""
