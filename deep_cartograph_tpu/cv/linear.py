@@ -210,11 +210,23 @@ class TICACalculator(LinearCalculator):
         self.x_t, self.x_lag = self._lagged_blocks()
 
     def compute_cv(self) -> None:
+        import jax
+
         reg = self.configuration.get("tica_regularization", 1e-6)
         try:
-            self.eigenvalues_, evecs = tica(
-                self.x_t, self.x_lag, self.cv_dimension, reg=reg
-            )
+            if len(jax.devices()) > 1 and self.x_t.shape[0] >= 4 * len(
+                jax.devices()
+            ):
+                # Frame-sharded covariance accumulation over the mesh
+                from deep_cartograph_tpu.cv.tica_math import tica_sharded
+
+                self.eigenvalues_, evecs = tica_sharded(
+                    self.x_t, self.x_lag, self.cv_dimension, reg=reg
+                )
+            else:
+                self.eigenvalues_, evecs = tica(
+                    self.x_t, self.x_lag, self.cv_dimension, reg=reg
+                )
         except Exception as exc:
             logger.error("TICA could not be computed. Error message: %s", exc)
             return
