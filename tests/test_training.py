@@ -1,0 +1,179 @@
+"""Training-engine behavior tests: schedulers, early stopping, KL annealing,
+explicit validation data, and cross-topology multi-trajectory training."""
+
+import numpy as np
+import pytest
+
+from deep_cartograph_tpu.models.training import (
+    KLAnnealing,
+    ReduceLROnPlateau,
+    Trainer,
+    TrainerConfig,
+)
+
+
+def _toy_data(rng, n=200, d=4):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return {"data": x}
+
+
+def _mse_loss(module_w=None):
+    import jax.numpy as jnp
+
+    def loss_fn(params, batch, rng, beta):
+        pred = batch["data"] @ params["w"]
+        target = jnp.sum(batch["data"], axis=1, keepdims=True)
+        err = jnp.mean((pred - target) ** 2, axis=1)
+        w = batch["weight"]
+        return jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1e-9), {}
+
+    return loss_fn
+
+
+def _init_params(d=4):
+    import jax.numpy as jnp
+
+    return {"w": jnp.zeros((d, 1), jnp.float32)}
+
+
+def test_trainer_learns_and_early_stops(rng):
+    config = TrainerConfig(
+        batch_size=32,
+        max_epochs=500,
+        early_stop_patience=10,
+        early_stop_min_delta=1e-7,
+        optimizer_name="Adam",
+        optimizer_kwargs={"lr": 0.05},
+    )
+    trainer = Trainer(_mse_loss(), config)
+    train = _toy_data(rng)
+    valid = _toy_data(rng, n=50)
+    result = trainer.fit(_init_params(), train, valid, seed=0)
+    assert result.score < 1e-3
+    # early stopping fired well before max_epochs
+    assert result.metrics["epoch"][-1] < 400
+    assert result.description == "best overall"
+    np.testing.assert_allclose(
+        np.asarray(result.params["w"]).ravel(), np.ones(4), atol=0.05
+    )
+
+
+def test_onecycle_lr_schedule_recorded(rng):
+    config = TrainerConfig(
+        batch_size=32,
+        max_epochs=30,
+        early_stop_patience=100,
+        optimizer_name="Adam",
+        optimizer_kwargs={"lr": 1e-3},
+        lr_scheduler={"name": "OneCycleLR", "kwargs": {"max_lr": 0.05}},
+    )
+    trainer = Trainer(_mse_loss(), config)
+    result = trainer.fit(
+        _init_params(), _toy_data(rng), _toy_data(rng, n=50), seed=0
+    )
+    lrs = result.metrics["lr"]
+    # warmup then decay shape
+    assert max(lrs) > lrs[0]
+    assert lrs[-1] < max(lrs)
+
+
+def test_reduce_on_plateau_scales_lr():
+    sched = ReduceLROnPlateau(factor=0.1, patience=2, cooldown=0, start_epoch=5)
+    # before start_epoch: no effect
+    assert sched.step(0, 1.0) == 1.0
+    # constant loss after start: trips after patience exceeded
+    scales = [sched.step(e, 1.0) for e in range(5, 15)]
+    assert min(scales) <= 0.1 + 1e-12
+
+
+def test_kl_annealing_schedules():
+    lin = KLAnnealing(type="linear", start_beta=0.0, max_beta=1.0,
+                      start_epoch=10, n_epochs_anneal=10)
+    assert lin.beta(5) == 0.0
+    assert abs(lin.beta(15) - 0.5) < 1e-9
+    assert lin.beta(25) == 1.0
+
+    sig = KLAnnealing(type="sigmoid", start_beta=0.0, max_beta=1.0,
+                      start_epoch=10, n_epochs_anneal=10)
+    assert sig.beta(5) == 0.0
+    assert sig.beta(11) < 0.2
+    assert sig.beta(30) > 0.95
+    mid = sig.beta(15)
+    assert 0.3 < mid < 0.7
+
+    cyc = KLAnnealing(type="cyclical", start_beta=0.0, max_beta=1.0,
+                      start_epoch=0, n_cycles=2, n_epochs_anneal=20)
+    # cycle length 10, ramp over first 5 epochs of each cycle
+    assert cyc.beta(1) < cyc.beta(5)
+    assert cyc.beta(11) < 1.0  # reset at cycle boundary
+    assert cyc.beta(25) == 1.0  # after annealing: stays at max
+
+
+def test_deep_cv_with_explicit_validation(tmp_path, ca_system, rng):
+    """AE training with separately provided validation colvars."""
+    from tests.test_cv import base_config
+    from deep_cartograph_tpu.cv import cv_calculators_map
+    from deep_cartograph_tpu.io.colvars import write_colvars
+
+    labels = ["dist-@CA_1-@CA_5", "dist-@CA_2-@CA_7", "dist-@CA_3-@CA_9"]
+
+    def make_colvars(path, n):
+        data = rng.standard_normal((n, 3)).astype(np.float32) * 0.1 + 0.6
+        t = np.arange(n, dtype=np.float32)
+        write_colvars(path, np.column_stack([t, data]), ["time"] + labels)
+
+    train_path = str(tmp_path / "train.dat")
+    val_path = str(tmp_path / "val.dat")
+    make_colvars(train_path, 150)
+    make_colvars(val_path, 60)
+
+    cfg = base_config()
+    cfg["training"]["general"]["max_epochs"] = 10
+    calc = cv_calculators_map["ae"](configuration=cfg, output_path=str(tmp_path))
+    calc.load_training_data([train_path], [ca_system.pdb_path],
+                            features_list=labels)
+    calc.load_validation_data([val_path], [ca_system.pdb_path],
+                              features_list=labels)
+    projection = calc.run()
+    assert projection is not None and projection.shape == (150, 2)
+    # validation metrics computed on the provided set
+    assert len(calc.metrics["valid_loss"]) > 3
+
+
+def test_train_colvars_cross_topology(tmp_path, ca_system, rng):
+    """Two trajectories with different residue numbering train one CV via
+    feature translation (the multi-topology path)."""
+    from tests.fixtures import make_shifted_ca_pdb
+    from tests.test_cv import base_config
+    from deep_cartograph_tpu.cv import cv_calculators_map
+    from deep_cartograph_tpu.io.colvars import write_colvars
+
+    # Topology B = same chain, resids shifted by +100
+    shifted_pdb = make_shifted_ca_pdb(str(tmp_path), ca_system, 100)
+
+    ref_labels = ["dist-@CA_1-@CA_5", "dist-@CA_2-@CA_7", "dist-@CA_3-@CA_9"]
+    shifted_labels = [
+        "dist-@CA_101-@CA_105", "dist-@CA_102-@CA_107", "dist-@CA_103-@CA_109"
+    ]
+
+    data_a = rng.standard_normal((80, 3)).astype(np.float32) * 0.1 + 0.5
+    data_b = rng.standard_normal((80, 3)).astype(np.float32) * 0.1 + 0.5
+    path_a = str(tmp_path / "a.dat")
+    path_b = str(tmp_path / "b.dat")
+    t = np.arange(80, dtype=np.float32)
+    write_colvars(path_a, np.column_stack([t, data_a]), ["time"] + ref_labels)
+    write_colvars(path_b, np.column_stack([t, data_b]), ["time"] + shifted_labels)
+
+    calc = cv_calculators_map["pca"](
+        configuration=base_config(), output_path=str(tmp_path)
+    )
+    calc.load_training_data(
+        [path_a, path_b],
+        [ca_system.pdb_path, shifted_pdb],
+        ref_topology_path=ca_system.pdb_path,
+        features_list=ref_labels,
+    )
+    assert calc.training_data.shape == (160, 3)
+    assert list(np.unique(calc.training_data_labels)) == [0, 1]
+    projection = calc.run()
+    assert projection.shape == (160, 2)
