@@ -49,28 +49,41 @@ def find_distances(
             f"Second selection: '{selection2}' is empty, please review the selection string."
         )
 
-    bond_sets = topology.bond_neighbor_sets() if skip_bonded_atoms else None
     resids = topology.resids
     names = topology.names
 
-    labels: List[str] = []
-    seen = set()
-    for ia in first:
-        for ib in second:
-            if ia == ib:
-                continue
-            key = (min(int(ia), int(ib)), max(int(ia), int(ib)))
-            if key in seen:
-                continue
-            seen.add(key)
-            if skip_bonded_atoms and int(ib) in bond_sets[int(ia)]:
-                continue
-            if skip_neighbors and abs(int(resids[ia]) - int(resids[ib])) <= 1:
-                continue
-            labels.append(
-                f"@{names[ia]}_{resids[ia]}-@{names[ib]}_{resids[ib]}"
-            )
-    return labels
+    # Vectorized pair generation preserving the reference's iteration-order
+    # semantics (first-selection-major, first-occurrence dedup of unordered
+    # pairs) — the reference's O(n1*n2) Python loop (md.py:89-128) does not
+    # scale to the 10k+-feature configs.
+    ia = np.repeat(first, len(second))
+    ib = np.tile(second, len(first))
+    keep = ia != ib
+    ia, ib = ia[keep], ib[keep]
+
+    lo = np.minimum(ia, ib)
+    hi = np.maximum(ia, ib)
+    key = lo.astype(np.int64) * (topology.n_atoms + 1) + hi
+    _, first_idx = np.unique(key, return_index=True)
+    first_idx.sort()
+    ia, ib = ia[first_idx], ib[first_idx]
+
+    if skip_neighbors:
+        keep = np.abs(resids[ia] - resids[ib]) > 1
+        ia, ib = ia[keep], ib[keep]
+
+    if skip_bonded_atoms and len(ia):
+        bond_sets = topology.bond_neighbor_sets()
+        keep = np.asarray(
+            [int(b) not in bond_sets[int(a)] for a, b in zip(ia, ib)],
+            dtype=bool,
+        )
+        ia, ib = ia[keep], ib[keep]
+
+    return [
+        f"@{names[a]}_{resids[a]}-@{names[b]}_{resids[b]}"
+        for a, b in zip(ia, ib)
+    ]
 
 
 def find_coordinates(topology: Topology, selection: str, stride: int) -> List[str]:

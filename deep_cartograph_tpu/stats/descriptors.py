@@ -48,15 +48,35 @@ def _minmax_all(features: jnp.ndarray):
     return jnp.min(features, axis=0), jnp.max(features, axis=0)
 
 
+# Feature-block budget: cap per-dispatch elements so 100k-frame x 50k-feature
+# matrices stream through HBM in blocks instead of landing whole.
+_BLOCK_ELEMENT_BUDGET = 200_000_000
+
+
+def _feature_blocks(features: np.ndarray):
+    n, f = features.shape
+    block = max(1, min(f, _BLOCK_ELEMENT_BUDGET // max(n, 1)))
+    for start in range(0, f, block):
+        yield features[:, start : start + block]
+
+
 def shannon_entropy(features: np.ndarray, num_bins: int = 100) -> np.ndarray:
-    """Per-feature entropy, rounded to 3 decimals like the reference."""
-    out = np.asarray(_entropy_all(jnp.asarray(features), num_bins))
-    return np.round(out, 3)
+    """Per-feature entropy, rounded to 3 decimals like the reference.
+    Feature-blocked for matrices larger than the per-dispatch budget."""
+    parts = [
+        np.asarray(_entropy_all(jnp.asarray(block), num_bins))
+        for block in _feature_blocks(features)
+    ]
+    return np.round(np.concatenate(parts), 3)
 
 
 def standard_deviation(features: np.ndarray) -> np.ndarray:
     """Per-feature std, rounded to 3 decimals like the reference."""
-    return np.round(np.asarray(_std_all(jnp.asarray(features))), 3)
+    parts = [
+        np.asarray(_std_all(jnp.asarray(block)))
+        for block in _feature_blocks(features)
+    ]
+    return np.round(np.concatenate(parts), 3)
 
 
 def dip_pvalues(features: np.ndarray) -> np.ndarray:
