@@ -129,21 +129,10 @@ def write_traj(
 
 
 def _write_pdb_frames(path: str, coords: np.ndarray, topology) -> None:
-    import io as _io
-
-    from deep_cartograph_tpu.io.topology import write_pdb
-
-    chunks = []
-    for f in range(coords.shape[0]):
-        buf = _io.StringIO()
-        tmp_path = None
-        # write_pdb writes to a path; reuse via temp string assembly
-        chunks.append((f, coords[f]))
     with open(path, "w") as fh:
-        for f, frame in chunks:
+        for f in range(coords.shape[0]):
             fh.write(f"MODEL     {f + 1}\n")
-            tmp = _render_pdb_atoms(topology, frame)
-            fh.write(tmp)
+            fh.write(_render_pdb_atoms(topology, coords[f]))
             fh.write("ENDMDL\n")
         fh.write("END\n")
 
