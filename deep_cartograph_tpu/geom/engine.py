@@ -72,10 +72,13 @@ class Featurizer:
         trajectory_path: str,
         traj_stride: int = 1,
         frame_chunk: int = 2048,
+        timeout: Optional[float] = None,
     ) -> np.ndarray:
         """Stream a trajectory through the device in fixed-shape chunks.
 
-        Returns the (n_frames, n_features) matrix (nm / radians).
+        Returns the (n_frames, n_features) matrix (nm / radians). `timeout`
+        (seconds) bounds the wall clock like the reference's PLUMED
+        subprocess timeout (cf. reference cli.py:89).
         """
         chunk = auto_chunk_size(
             frame_chunk, self.topology.n_atoms, self.plan.n_features
@@ -86,6 +89,11 @@ class Featurizer:
         for block in iter_frame_chunks(
             trajectory_path, chunk, self.topology.source_path, stride=traj_stride
         ):
+            if timeout is not None and time.time() - t0 > timeout:
+                raise TimeoutError(
+                    f"Featurization exceeded the configured timeout of "
+                    f"{timeout} s after {n_frames} frames."
+                )
             n = block.shape[0]
             n_frames += n
             if n < chunk:

@@ -164,7 +164,10 @@ def compute_features(
         topology = Topology.from_file(plumed_topology_path)
         featurizer = Featurizer(topology, features_list, fit_template)
         features = featurizer.featurize_trajectory(
-            trajectory_path, traj_stride=stride, frame_chunk=frame_chunk
+            trajectory_path,
+            traj_stride=stride,
+            frame_chunk=frame_chunk,
+            timeout=configuration["plumed_settings"]["timeout"],
         )
 
         # PLUMED-driver time convention: time(ps) = frame index (1 ps steps),

@@ -108,3 +108,18 @@ def test_sharded_featurization_matches_single(ca_system):
         ca_system.coords, get_mesh()
     )
     np.testing.assert_allclose(np.asarray(sharded)[:n], single, atol=1e-5)
+
+
+def test_graft_entry_contract():
+    """entry() compiles and dryrun_multichip runs on the virtual mesh."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
+    mod.dryrun_multichip(8)
