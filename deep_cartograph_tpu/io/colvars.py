@@ -39,7 +39,37 @@ def read_column_names(colvars_path: str, features_only: bool = False) -> List[st
 
 
 def _load_matrix(colvars_path: str) -> np.ndarray:
-    """Bulk-parse the numeric body of a colvars file as float32."""
+    """Bulk-parse the numeric body of a colvars file as float32.
+
+    Uses the OpenMP C++ parser (native/colvars_io.cpp) when available —
+    ~10x numpy.loadtxt on production-size files — with numpy fallback.
+    """
+    import ctypes
+
+    from deep_cartograph_tpu.native.build import load_native
+
+    lib = load_native()
+    if lib is not None and hasattr(lib, "colvars_parse"):
+        n_cols = len(read_column_names(colvars_path))
+        if n_cols > 0:
+            with open(colvars_path, "rb") as fh:
+                buf = fh.read()
+            # upper bound on rows: newline count
+            max_rows = buf.count(b"\n") + 1
+            out = np.empty((max_rows, n_cols), np.float32)
+            rows = lib.colvars_parse(
+                buf,
+                len(buf),
+                n_cols,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                max_rows,
+            )
+            if rows >= 0:
+                return out[:rows].copy()
+            logger.warning(
+                "Native colvars parse failed for %s; falling back to numpy.",
+                colvars_path,
+            )
     return np.loadtxt(colvars_path, comments="#", dtype=np.float32, ndmin=2)
 
 
@@ -258,8 +288,38 @@ def write_colvars(
     column_names: List[str],
     fmt: str = "%.4f",
 ) -> None:
-    """Write a PLUMED-format colvars file ('#! FIELDS ...' header + rows)."""
+    """Write a PLUMED-format colvars file ('#! FIELDS ...' header + rows).
+
+    Uses the OpenMP C++ formatter when available (parallel row formatting),
+    numpy.savetxt otherwise.
+    """
+    import ctypes
+    import re as _re
+
+    from deep_cartograph_tpu.native.build import load_native
+
     header = "#! FIELDS " + " ".join(column_names)
+    data = np.ascontiguousarray(data, np.float32)
+    lib = load_native()
+    m = _re.fullmatch(r"%\.(\d+)f", fmt)
+    if lib is not None and hasattr(lib, "colvars_format") and m and data.ndim == 2:
+        decimals = int(m.group(1))
+        rows, cols = data.shape
+        capacity = rows * cols * (decimals + 16) + 1024
+        out = ctypes.create_string_buffer(capacity)
+        n = lib.colvars_format(
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            rows,
+            cols,
+            decimals,
+            out,
+            capacity,
+        )
+        if n >= 0:
+            with open(path, "wb") as fh:
+                fh.write((header + "\n").encode())
+                fh.write(out.raw[:n])
+            return
     with open(path, "w") as fh:
         fh.write(header + "\n")
         np.savetxt(fh, np.asarray(data), fmt=fmt, delimiter=" ")

@@ -15,7 +15,7 @@ logger = logging.getLogger(__name__)
 
 _NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libcarto_native.so")
-_SOURCES = ["xdrcodec.cpp", "diptest.cpp"]
+_SOURCES = ["xdrcodec.cpp", "diptest.cpp", "colvars_io.cpp"]
 _LIB_CACHE: Optional[ctypes.CDLL] = None
 _BUILD_FAILED = False
 
@@ -82,6 +82,17 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
+    if hasattr(lib, "colvars_parse"):
+        lib.colvars_parse.restype = ctypes.c_long
+        lib.colvars_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ]
+        lib.colvars_format.restype = ctypes.c_long
+        lib.colvars_format.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
+        ]
     if hasattr(lib, "dip_statistics_batch"):
         lib.dip_statistics_batch.restype = None
         lib.dip_statistics_batch.argtypes = [

@@ -1,0 +1,147 @@
+// Fast COLVARS text I/O: parallel float parsing and formatting.
+//
+// The reference pushes colvars files through pandas.read_csv per feature
+// (SURVEY §3.4 — the I/O-bound hot loop). Here the whole numeric body is
+// parsed in one pass: the buffer splits at line boundaries across OpenMP
+// threads, each thread strtof's its slice into the right output rows.
+// Writing formats rows in parallel into per-thread buffers.
+
+#include <algorithm>
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+// Count data rows (non-empty, non-comment lines) and find body start.
+long count_rows(const char* buf, long size, long* body_start) {
+    long rows = 0;
+    long i = 0;
+    *body_start = -1;
+    while (i < size) {
+        // line start
+        while (i < size && (buf[i] == ' ' || buf[i] == '\t')) ++i;
+        bool is_comment = (i < size && buf[i] == '#');
+        bool is_empty = (i < size && buf[i] == '\n');
+        if (!is_comment && !is_empty && i < size) {
+            if (*body_start < 0) *body_start = i;
+            ++rows;
+        }
+        while (i < size && buf[i] != '\n') ++i;
+        ++i;  // skip newline
+    }
+    return rows;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse the numeric body of a colvars file into out[rows*cols] floats.
+// Comment lines (starting with '#', e.g. the FIELDS header) are skipped.
+// Returns the number of rows parsed, or -1 on a shape mismatch.
+long colvars_parse(const char* buf, long size, long cols, float* out,
+                   long max_rows) {
+    long body_start;
+    long rows = count_rows(buf, size, &body_start);
+    if (rows > max_rows) return -1;
+    if (rows == 0) return 0;
+
+    // Collect the byte offset of each data line (sequential, cheap).
+    std::vector<long> line_offsets;
+    line_offsets.reserve(rows);
+    long i = 0;
+    while (i < size) {
+        long start = i;
+        while (start < size && (buf[start] == ' ' || buf[start] == '\t'))
+            ++start;
+        if (start < size && buf[start] != '#' && buf[start] != '\n') {
+            line_offsets.push_back(start);
+        }
+        while (i < size && buf[i] != '\n') ++i;
+        ++i;
+    }
+
+    long parsed_rows = (long)line_offsets.size();
+    bool ok = true;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long r = 0; r < parsed_rows; ++r) {
+        const char* p = buf + line_offsets[r];
+        char* end;
+        for (long c = 0; c < cols; ++c) {
+            float v = strtof(p, &end);
+            if (end == p) {
+                ok = false;
+                v = 0.0f;
+            }
+            out[r * cols + c] = v;
+            p = end;
+        }
+    }
+    return ok ? parsed_rows : -1;
+}
+
+// Format rows*cols floats with `decimals` fixed decimals, space-separated,
+// into per-thread buffers, then concatenate into `out` (caller-sized).
+// Returns bytes written, or -1 if out_capacity is insufficient.
+long colvars_format(const float* data, long rows, long cols, int decimals,
+                    char* out, long out_capacity) {
+    int n_threads = 1;
+#ifdef _OPENMP
+    n_threads = omp_get_max_threads();
+#endif
+    std::vector<std::vector<char>> buffers(n_threads);
+    std::vector<long> lengths(n_threads, 0);
+    long rows_per_thread = (rows + n_threads - 1) / n_threads;
+
+#ifdef _OPENMP
+#pragma omp parallel num_threads(n_threads)
+#endif
+    {
+#ifdef _OPENMP
+        int t = omp_get_thread_num();
+#else
+        int t = 0;
+#endif
+        long r0 = t * rows_per_thread;
+        long r1 = std::min(rows, r0 + rows_per_thread);
+        if (r0 < r1) {
+            auto& buf = buffers[t];
+            buf.resize(size_t(r1 - r0) * cols * (decimals + 16));
+            char* p = buf.data();
+            char fmt[16];
+            snprintf(fmt, sizeof(fmt), "%%.%df", decimals);
+            for (long r = r0; r < r1; ++r) {
+                for (long c = 0; c < cols; ++c) {
+                    if (c) *p++ = ' ';
+                    p += snprintf(p, 64, fmt, double(data[r * cols + c]));
+                }
+                *p++ = '\n';
+            }
+            lengths[t] = long(p - buf.data());
+        }
+    }
+
+    long total = 0;
+    for (int t = 0; t < n_threads; ++t) total += lengths[t];
+    if (total > out_capacity) return -1;
+    char* p = out;
+    for (int t = 0; t < n_threads; ++t) {
+        if (lengths[t]) {
+            std::memcpy(p, buffers[t].data(), size_t(lengths[t]));
+            p += lengths[t];
+        }
+    }
+    return total;
+}
+
+}  // extern "C"
