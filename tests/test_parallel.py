@@ -123,3 +123,19 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
     mod.dryrun_multichip(8)
+
+
+def test_lag_pairs_respect_trajectory_seams():
+    """Time-lagged pairs must not cross trajectory boundaries (documented
+    deviation from the reference, which pairs across concatenated files)."""
+    from deep_cartograph_tpu.cv.tica_math import (
+        create_timelagged_dataset_multi,
+    )
+
+    block_a = np.zeros((10, 2), np.float32)
+    block_b = np.full((10, 2), 100.0, np.float32)
+    x_t, x_lag = create_timelagged_dataset_multi([block_a, block_b], lag_time=3)
+    # 7 pairs per block; no pair mixes 0-block and 100-block values
+    assert x_t.shape == (14, 2)
+    mixed = np.abs(x_lag - x_t) > 50
+    assert not mixed.any()
