@@ -15,6 +15,7 @@ import logging
 import time
 from typing import List, Optional, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from deep_cartograph_tpu.features.grammar import compile_plan
@@ -100,8 +101,15 @@ class Featurizer:
                 # Pad to the static chunk shape; one XLA program for all chunks.
                 pad = np.repeat(block[-1:], chunk - n, axis=0)
                 block = np.concatenate([block, pad], axis=0)
-            outputs.append(self.evaluator(block)[:n])
-        result = np.concatenate(outputs, axis=0)
+            # Async dispatch: keep device arrays so host decode of the next
+            # chunk overlaps device compute; download once at the end.
+            device_out = self.evaluator.device_fn()(
+                jnp.asarray(block, self.evaluator.dtype)
+            )
+            outputs.append((device_out, n))
+        result = np.concatenate(
+            [np.asarray(out)[:n] for out, n in outputs], axis=0
+        )
         dt = time.time() - t0
         logger.info(
             "Featurized %d frames x %d features in %.2fs (%.0f frames/s)",
