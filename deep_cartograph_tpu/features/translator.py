@@ -57,9 +57,11 @@ class Translator:
         return translated
 
     def translate_atom(self, atom: str) -> Optional[str]:
-        """Translate '@CA_579'-style entities; center_ entities pass through
-        unchanged (they are selection-derived, not resid-addressed)."""
-        if atom.startswith("center_"):
+        """Translate '@CA_579'-style entities. center_ entities and plain
+        1-based atom indices (distance-to-center features) pass through
+        unchanged — they are selection-derived, not resid-addressed. (The
+        reference's translator crashes on both forms.)"""
+        if atom.startswith("center_") or not atom.startswith("@"):
             return atom
         ref_atom_name, ref_resid = atom.split("_")
         target_resid = self.top_mapper.map_residue(int(ref_resid))
