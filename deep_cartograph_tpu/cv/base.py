@@ -93,8 +93,12 @@ class CVCalculator(ABC):
         self.temp_model_path: Optional[str] = None
 
     def __del__(self):
-        if self.temp_model_path and os.path.exists(self.temp_model_path):
-            shutil.rmtree(self.temp_model_path, ignore_errors=True)
+        try:
+            if self.temp_model_path and os.path.exists(self.temp_model_path):
+                shutil.rmtree(self.temp_model_path, ignore_errors=True)
+        except Exception:
+            # os/shutil may already be torn down during interpreter shutdown
+            pass
 
     # ------------------------------------------------------------------
     # Persistence: polymorphic factory + zip format
@@ -444,6 +448,18 @@ class CVCalculator(ABC):
         zip_files(unbiased_zip, *self.plumed_files)
         os.remove(plumed_input_path)
         self.plumed_files.remove(plumed_input_path)
+
+        if not self.bias:
+            # Models loaded from a zip carry no bias configuration; the
+            # unbiased input above is still produced (the reference errors
+            # out here instead).
+            logger.warning(
+                "No bias configuration on this calculator; skipping the "
+                "biased PLUMED input."
+            )
+            remove_files(*self.plumed_files)
+            os.remove(ref_plumed_topology_path)
+            return
 
         rmsd_reference_path = None
         if self.bias.get("add_rmsd_restraint"):

@@ -46,6 +46,13 @@ class LinearCalculator(CVCalculator):
         self.cv_norm_range = np.load(os.path.join(m, "cv_norm_range.npy"))
         self.features_norm_mean = np.load(os.path.join(m, "features_norm_mean.npy"))
         self.features_norm_range = np.load(os.path.join(m, "features_norm_range.npy"))
+        # cv_stats are not stored directly but are recoverable from the saved
+        # normalization parameters (mean = (max+min)/2, range = (max-min)/2);
+        # the PLUMED assembler needs them for the COMBINE offset/scale.
+        self.cv_stats = {
+            "min": (self.cv_norm_mean - self.cv_norm_range).astype(np.float64),
+            "max": (self.cv_norm_mean + self.cv_norm_range).astype(np.float64),
+        }
 
     def save_weights(self, weights_path: str) -> None:
         np.save(weights_path, self.cv)

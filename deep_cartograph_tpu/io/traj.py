@@ -83,6 +83,10 @@ def read_traj(
             raise ValueError("Reading .crd trajectories requires a topology")
         n_atoms = Topology.from_file(topology_path).n_atoms
         coords = read_crd(trajectory_path, n_atoms)[start:stop:stride]
+    elif suffix == ".nc":
+        from deep_cartograph_tpu.io.netcdf import read_nc
+
+        coords = read_nc(trajectory_path, start, stop, stride)
     else:
         raise ValueError(f"Unsupported trajectory format: {trajectory_path}")
 
@@ -124,6 +128,10 @@ def write_traj(
         from deep_cartograph_tpu.io.crd import write_crd
 
         write_crd(path, coords)
+    elif suffix == ".nc":
+        from deep_cartograph_tpu.io.netcdf import write_nc
+
+        write_nc(path, coords)
     else:
         raise ValueError(f"Unsupported output trajectory format: {path}")
 

@@ -282,3 +282,20 @@ def test_plumed_export_nonlinear(cv_dataset, tmp_path):
         input_name = [n for n in names if n.startswith("plumed_input")][0]
         text = zf.read(input_name).decode()
     assert "PYTORCH_MODEL" in text
+
+
+def test_loaded_linear_model_writes_unbiased_plumed(cv_dataset, tmp_path):
+    """A model loaded from zip has no bias config and no in-memory cv_stats;
+    write_plumed_files must still emit the unbiased input (the reference
+    errors out on this path)."""
+    from deep_cartograph_tpu.cv.base import CVCalculator
+
+    _train("pca", cv_dataset, tmp_path)
+    model_zip = os.path.join(str(tmp_path), "pca", "model.zip")
+    loaded = CVCalculator.load(model_zip, os.path.join(str(tmp_path), "reload"))
+
+    assert "min" in loaded.cv_stats and "max" in loaded.cv_stats
+    plumed_dir = os.path.join(str(tmp_path), "plumed_loaded")
+    os.makedirs(plumed_dir)
+    loaded.write_plumed_files(cv_dataset["topology"], plumed_dir)
+    assert sorted(os.listdir(plumed_dir)) == ["plumed_pca_unbiased.zip"]

@@ -118,3 +118,13 @@ def test_crd_roundtrip(tmp_path, rng, ca_system):
     # via dispatch (needs topology for atom count)
     back2 = read_traj(path, ca_system.pdb_path)
     np.testing.assert_allclose(back2, coords, atol=1e-3)
+
+
+def test_netcdf_roundtrip(tmp_path, rng):
+    coords = (rng.standard_normal((6, 11, 3)) * 9).astype(np.float32)
+    path = str(tmp_path / "t.nc")
+    write_traj(path, coords)
+    back = read_traj(path)
+    np.testing.assert_allclose(back, coords, atol=1e-6)
+    strided = read_traj(path, start=1, stop=5, stride=2)
+    np.testing.assert_allclose(strided, coords[1:5:2], atol=1e-6)
