@@ -73,6 +73,9 @@ class EngineSettings(BaseModel):
     dtype: Literal["float32", "bfloat16"] = "float32"
     # Shard the frame axis over the device mesh when more than 1 device is present.
     shard_frames: bool = True
+    # "auto" runs small trajectories on the host CPU (skips accelerator compile
+    # latency); "default" always uses the default backend; "cpu" pins to host.
+    device: Literal["auto", "default", "cpu"] = "auto"
 
 
 class ComputeFeaturesSchema(BaseModel):

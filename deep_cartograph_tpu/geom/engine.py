@@ -12,6 +12,7 @@ fixed padded shape so the program compiles exactly once per
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import List, Optional, Tuple
 
@@ -45,9 +46,16 @@ class Featurizer:
         features_list: List[str],
         fit_template: Optional[Tuple[np.ndarray, np.ndarray]] = None,
         dtype=None,
+        device: str = "default",
     ):
         """fit_template: optional (reference_positions, align_weights) applied
-        before coordinate features (PLUMED FIT_TO_TEMPLATE equivalent)."""
+        before coordinate features (PLUMED FIT_TO_TEMPLATE equivalent).
+
+        `device`: "default" compiles for the default backend; "cpu" pins the
+        plan to the host CPU; "auto" picks the host CPU for small trajectories
+        where a remote accelerator's per-program compile latency (tens to
+        hundreds of seconds) would dwarf the compute, and the accelerator
+        otherwise."""
         import jax.numpy as jnp
 
         self.topology = topology
@@ -58,12 +66,68 @@ class Featurizer:
             raise ValueError(
                 "Features contain coordinates but no fit template was provided."
             )
-        self.evaluator = PlanEvaluator(
-            self.plan,
-            fit_reference=ref if self.plan.needs_fit else None,
-            fit_weights=weights if self.plan.needs_fit else None,
-            dtype=dtype or jnp.float32,
+        self.device_policy = device
+        self._dtype = dtype or jnp.float32
+        self._fit = (
+            ref if self.plan.needs_fit else None,
+            weights if self.plan.needs_fit else None,
         )
+        self._evaluators: dict = {}
+
+    @property
+    def evaluator(self) -> PlanEvaluator:
+        """Default-backend evaluator (sharded/deploy callers)."""
+        return self._get_evaluator(None)
+
+    def _get_evaluator(self, device) -> PlanEvaluator:
+        key = None if device is None else str(device)
+        if key not in self._evaluators:
+            self._evaluators[key] = PlanEvaluator(
+                self.plan,
+                fit_reference=self._fit[0],
+                fit_weights=self._fit[1],
+                dtype=self._dtype,
+                device=device,
+            )
+        return self._evaluators[key]
+
+    def _host_cpu_device(self):
+        import jax
+
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            return None
+        if jax.devices()[0] == cpu:
+            return None  # CPU already is the default backend
+        return cpu
+
+    # Below this estimated element-op count the host CPU finishes the whole
+    # job faster than a remote accelerator can even compile the program.
+    _AUTO_CPU_WORK_THRESHOLD = 5e8
+
+    def _pick_device(self, trajectory_path: str, traj_stride: int):
+        if self.device_policy == "cpu":
+            return self._host_cpu_device()
+        if self.device_policy != "auto":
+            return None
+        cpu = self._host_cpu_device()
+        if cpu is None:
+            return None
+        # File size bounds the frame count for every supported format
+        # (>= ~4 bytes per atom per frame), cheap and header-free.
+        est_frames = os.path.getsize(trajectory_path) / max(
+            4 * self.topology.n_atoms * max(traj_stride, 1), 1
+        )
+        work = est_frames * self.topology.n_atoms * max(self.plan.n_features, 1)
+        if work < self._AUTO_CPU_WORK_THRESHOLD:
+            logger.info(
+                "Small featurization workload (~%d frames); running on the "
+                "host CPU to skip accelerator compile latency.",
+                est_frames,
+            )
+            return cpu
+        return None
 
     def __call__(self, coords: np.ndarray) -> np.ndarray:
         return self.evaluator(coords)
@@ -84,6 +148,9 @@ class Featurizer:
         chunk = auto_chunk_size(
             frame_chunk, self.topology.n_atoms, self.plan.n_features
         )
+        evaluator = self._get_evaluator(
+            self._pick_device(trajectory_path, traj_stride)
+        )
         outputs: List[np.ndarray] = []
         t0 = time.time()
         n_frames = 0
@@ -103,10 +170,7 @@ class Featurizer:
                 block = np.concatenate([block, pad], axis=0)
             # Async dispatch: keep device arrays so host decode of the next
             # chunk overlaps device compute; download once at the end.
-            device_out = self.evaluator.device_fn()(
-                jnp.asarray(block, self.evaluator.dtype)
-            )
-            outputs.append((device_out, n))
+            outputs.append((evaluator.eval_raw(block), n))
         result = np.concatenate(
             [np.asarray(out)[:n] for out, n in outputs], axis=0
         )
@@ -155,6 +219,7 @@ def featurize_trajectory(
     traj_stride: int = 1,
     frame_chunk: int = 2048,
     fit_template_path: Optional[str] = None,
+    device: str = "auto",
 ) -> np.ndarray:
     """One-shot helper: decode + featurize a whole trajectory."""
     topology = Topology.from_file(topology_path)
@@ -162,5 +227,5 @@ def featurize_trajectory(
     if fit_template_path is not None:
         template = Topology.from_file(fit_template_path)
         fit_template = (template.positions, template.occupancies)
-    featurizer = Featurizer(topology, features_list, fit_template)
+    featurizer = Featurizer(topology, features_list, fit_template, device=device)
     return featurizer.featurize_trajectory(trajectory_path, traj_stride, frame_chunk)

@@ -55,7 +55,16 @@ def interpolate_trajectory(
 
     topology = Topology.from_file(topology_file)
     sel_idx = topology.select(atom_selection)
-    coords = read_traj(trajectory_file, topology_file)[:, sel_idx]
+    if prepare_trajectory:
+        from deep_cartograph_tpu.geom.pbc import prepare_frames
+        from deep_cartograph_tpu.io.boxes import read_box
+
+        raw = read_traj(trajectory_file, topology_file)
+        box = read_box(trajectory_file)
+        bonds = topology.guess_bonds(box=box[0] if box is not None else None)
+        coords = prepare_frames(raw, box, bonds, group=sel_idx)[:, sel_idx]
+    else:
+        coords = read_traj(trajectory_file, topology_file)[:, sel_idx]
     frames = np.arange(coords.shape[0], dtype=np.float64)
 
     if keep_original_frames:

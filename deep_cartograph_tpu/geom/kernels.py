@@ -180,6 +180,9 @@ def _evaluate_plan_chunk(
             dist_selector,
             coords[..., : dist_selector.shape[1], :],
             preferred_element_type=coords.dtype,
+            # Absolute coordinates cancel in this contraction; bf16 MXU passes
+            # would lose ~0.05 Angstrom, so force full f32 accuracy.
+            precision=jax.lax.Precision.HIGHEST,
         )
         d = jnp.sqrt(jnp.sum(diff * diff, axis=-1)) * ANGSTROM_TO_NM
         out = out.at[:, dist_out].set(d)
@@ -241,14 +244,30 @@ class PlanEvaluator:
         fit_weights: Optional[np.ndarray] = None,
         dtype=jnp.float32,
         gather_strategy: str = "auto",
+        device=None,
     ):
+        """`device`: optional jax.Device to pin plan arrays and compilation to
+        (e.g. the host CPU for tiny workloads where a remote accelerator's
+        compile latency dominates). None uses the default backend."""
         self.plan = plan
         self.dtype = dtype
+        self._device = device
+        with self._device_ctx():
+            self._build(plan, fit_reference, fit_weights, gather_strategy)
+
+    def _device_ctx(self):
+        import contextlib
+
+        if self._device is None:
+            return contextlib.nullcontext()
+        return jax.default_device(self._device)
+
+    def _build(self, plan, fit_reference, fit_weights, gather_strategy):
         self._fit_reference = (
-            jnp.asarray(fit_reference, dtype) if fit_reference is not None else None
+            jnp.asarray(fit_reference, self.dtype) if fit_reference is not None else None
         )
         self._fit_weights = (
-            jnp.asarray(fit_weights, dtype) if fit_weights is not None else None
+            jnp.asarray(fit_weights, self.dtype) if fit_weights is not None else None
         )
         self._dist_pairs = jnp.asarray(plan.dist_pairs.reshape(-1, 2))
         # Gather strategy: one-hot +1/-1 selector matmul when small enough
@@ -272,14 +291,14 @@ class PlanEvaluator:
             rows = np.arange(n_dist)
             sel[rows, plan.dist_pairs[:, 0]] += 1.0
             sel[rows, plan.dist_pairs[:, 1]] -= 1.0
-            self._dist_selector = jnp.asarray(sel, dtype)
+            self._dist_selector = jnp.asarray(sel, self.dtype)
         else:
             self._dist_selector = None
         self._dihedral_quads = jnp.asarray(plan.dihedral_quads.reshape(-1, 4))
         self._coord_atoms = jnp.asarray(plan.coord_atoms)
         self._coord_axes = jnp.asarray(plan.coord_axes)
         self._center_atoms = jnp.asarray(plan.center_atoms)
-        self._center_mask = jnp.asarray(plan.center_mask, dtype)
+        self._center_mask = jnp.asarray(plan.center_mask, self.dtype)
 
         fn = partial(
             _evaluate_plan_chunk,
@@ -308,8 +327,12 @@ class PlanEvaluator:
 
     def __call__(self, coords_chunk: np.ndarray) -> np.ndarray:
         """(C, A, 3) Angstrom float -> (C, F) feature matrix (nm / radians)."""
-        result = self._jitted(jnp.asarray(coords_chunk, self.dtype))
-        return np.asarray(result)
+        return np.asarray(self.eval_raw(coords_chunk))
+
+    def eval_raw(self, coords_chunk):
+        """Evaluate and return the device array (no host download)."""
+        with self._device_ctx():
+            return self._jitted(jnp.asarray(coords_chunk, self.dtype))
 
     def device_fn(self):
         """The raw jitted device function (for sharded callers)."""

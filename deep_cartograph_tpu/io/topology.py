@@ -88,13 +88,23 @@ class Topology:
     def has_bonds(self) -> bool:
         return self.bonds is not None and len(self.bonds) > 0
 
-    def guess_bonds(self, indices: Optional[Sequence[int]] = None) -> np.ndarray:
+    def guess_bonds(
+        self,
+        indices: Optional[Sequence[int]] = None,
+        box: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
         """Guess bonds with the reference's distance criterion
-        (bond length < 2 Angstroms; cf. md.py:79-118,409-437)."""
+        (bond length < 2 Angstroms; cf. md.py:79-118,409-437). With `box`
+        (orthorhombic lengths, Angstroms), distances are minimum-image so
+        molecules wrapped across a periodic boundary keep their bonds —
+        matching MDAnalysis' PBC-aware guess_bonds."""
         idx = np.asarray(indices) if indices is not None else np.arange(self.n_atoms)
         pos = self.positions[idx]
         # O(n^2) vectorized distance check — fine on host for topology-sized n.
         diff = pos[:, None, :] - pos[None, :, :]
+        if box is not None:
+            b = np.asarray(box, pos.dtype).reshape(1, 1, 3)
+            diff = diff - b * np.round(diff / b)
         dist = np.sqrt((diff * diff).sum(-1))
         ii, jj = np.nonzero((dist < COVALENT_BOND_THRESHOLD) & (dist > 1e-6))
         keep = ii < jj

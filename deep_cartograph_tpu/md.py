@@ -116,14 +116,34 @@ def load_coordinates(
     stop: Optional[int] = None,
     step: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(frame_array, coords_array) like the reference md.py:892-946."""
+    """(frame_array, coords_array) like the reference md.py:892-946.
+
+    With prepare_trajectory=True, molecules are unwrapped across periodic
+    boundaries (bond spanning forest) and every frame is re-centred on the
+    selection — the reference's MDAnalysis unwrap + center_in_box transform
+    stack (md.py:948-1016)."""
     top = _top(topology_file)
     sel = top.select(selection)
-    coords = read_traj(
-        trajectory_file, topology_file,
-        start=start or 0, stop=stop, stride=step or 1,
-        selection_indices=sel,
-    )
+    if prepare_trajectory:
+        from deep_cartograph_tpu.geom.pbc import prepare_frames
+        from deep_cartograph_tpu.io.boxes import read_box
+
+        coords = read_traj(
+            trajectory_file, topology_file,
+            start=start or 0, stop=stop, stride=step or 1,
+        )
+        box = read_box(trajectory_file)
+        if box is not None:
+            box = box[start or 0 : stop : step or 1]
+        bonds = top.guess_bonds(box=box[0] if box is not None else None)
+        coords = prepare_frames(coords, box, bonds, group=sel)
+        coords = coords[:, np.asarray(sel), :]
+    else:
+        coords = read_traj(
+            trajectory_file, topology_file,
+            start=start or 0, stop=stop, stride=step or 1,
+            selection_indices=sel,
+        )
     frames = np.arange(coords.shape[0], dtype=np.float32)
     return frames, coords
 

@@ -16,26 +16,69 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _bin_indices(features: jnp.ndarray, num_bins: int) -> jnp.ndarray:
+    fmin = jnp.min(features, axis=0)
+    fmax = jnp.max(features, axis=0)
+    span = jnp.where(fmax > fmin, fmax - fmin, 1.0)
+    scaled = (features - fmin) / span * num_bins
+    return jnp.clip(scaled.astype(jnp.int32), 0, num_bins - 1)
+
+
+def _entropy_from_counts(counts: jnp.ndarray, n: int) -> jnp.ndarray:
+    p = counts / n
+    logp = jnp.where(p > 0, jnp.log2(jnp.where(p > 0, p, 1.0)), 0.0)
+    return -jnp.sum(p * logp, axis=1)
+
+
 @partial(jax.jit, static_argnames=("num_bins",))
+def _entropy_scatter(features: jnp.ndarray, num_bins: int = 100) -> jnp.ndarray:
+    """Histogram via one flattened scatter-add (fast on CPU backends)."""
+    n, n_feat = features.shape
+    idx = _bin_indices(features, num_bins)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n_feat), 1)
+    flat = (col * num_bins + idx).reshape(-1)
+    counts = jnp.zeros(n_feat * num_bins, features.dtype).at[flat].add(1.0)
+    return _entropy_from_counts(counts.reshape(n_feat, num_bins), n)
+
+
+@partial(jax.jit, static_argnames=("num_bins",))
+def _entropy_scan(features: jnp.ndarray, num_bins: int = 100) -> jnp.ndarray:
+    """Histogram via a scan over bins: each step is one fused compare+reduce
+    pass over int8 bin indices — HBM-bound and scatter-free, ~50x faster than
+    the scatter form on TPU (scatters serialize on the VPU)."""
+    n, n_feat = features.shape
+    idx = _bin_indices(features, num_bins).astype(jnp.int8)
+
+    def body(_, b):
+        return None, jnp.sum((idx == b).astype(jnp.float32), axis=0)
+
+    _, counts = jax.lax.scan(
+        body, None, jnp.arange(num_bins, dtype=jnp.int8)
+    )  # (num_bins, n_feat)
+    return _entropy_from_counts(counts.T, n)
+
+
 def _entropy_all(features: jnp.ndarray, num_bins: int = 100) -> jnp.ndarray:
     """Shannon entropy (base 2) of each feature's 100-bin histogram.
 
     Matches the reference recipe (statistics.py:514-566): density histogram,
-    p = density * bin_width, H = -sum p log2 p.
+    p = density * bin_width, H = -sum p log2 p. Backend-dispatched: scatter
+    on CPU, bin-scan on accelerators.
     """
-    n, n_feat = features.shape
-    fmin = jnp.min(features, axis=0)
-    fmax = jnp.max(features, axis=0)
-    span = jnp.where(fmax > fmin, fmax - fmin, 1.0)
-    # Bin index per sample per feature, flattened for one scatter-add
-    scaled = (features - fmin) / span * num_bins
-    idx = jnp.clip(scaled.astype(jnp.int32), 0, num_bins - 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n_feat), 1)
-    flat = (col * num_bins + idx).reshape(-1)
-    counts = jnp.zeros(n_feat * num_bins, features.dtype).at[flat].add(1.0)
-    p = counts.reshape(n_feat, num_bins) / n
-    logp = jnp.where(p > 0, jnp.log2(jnp.where(p > 0, p, 1.0)), 0.0)
-    return -jnp.sum(p * logp, axis=1)
+    platform = None
+    if isinstance(features, jax.Array) and not isinstance(
+        features, jax.core.Tracer
+    ):
+        try:
+            platform = next(iter(features.devices())).platform
+        except Exception:
+            platform = None
+    if platform is None:
+        d = jax.config.jax_default_device
+        platform = d.platform if d is not None else jax.default_backend()
+    if platform == "cpu":
+        return _entropy_scatter(features, num_bins)
+    return _entropy_scan(features, num_bins)
 
 
 @jax.jit

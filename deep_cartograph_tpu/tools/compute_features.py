@@ -162,7 +162,12 @@ def compute_features(
 
         # --- the TPU compute path ---
         topology = Topology.from_file(plumed_topology_path)
-        featurizer = Featurizer(topology, features_list, fit_template)
+        featurizer = Featurizer(
+            topology,
+            features_list,
+            fit_template,
+            device=configuration["engine"].get("device", "auto"),
+        )
         features = featurizer.featurize_trajectory(
             trajectory_path,
             traj_stride=stride,

@@ -104,3 +104,27 @@ def test_compute_features_with_stride(ca_system, tmp_path):
     np.testing.assert_allclose(
         df["time"].to_numpy(), np.arange(n_expected) * 3 / 1000.0, atol=1e-6
     )
+
+
+def test_featurizer_device_policies(ca_system, tmp_path):
+    """"cpu" / "auto" / "default" policies all produce identical features
+    (on the CPU test backend the policies collapse to the same device)."""
+    from deep_cartograph_tpu.geom.engine import Featurizer
+    from deep_cartograph_tpu.io.topology import Topology
+    from deep_cartograph_tpu.io.traj import write_traj
+
+    top = Topology.from_file(ca_system.pdb_path)
+    coords = ca_system.coords[:20]
+    traj = str(tmp_path / "t.dcd")
+    write_traj(traj, coords, top)
+    labels = [f"dist-@CA_{i}-@CA_{i + 2}" for i in range(1, 6)]
+
+    results = {}
+    for policy in ("default", "cpu", "auto"):
+        f = Featurizer(top, labels, device=policy)
+        results[policy] = f.featurize_trajectory(traj)
+    np.testing.assert_array_equal(results["default"], results["cpu"])
+    np.testing.assert_array_equal(results["default"], results["auto"])
+    # direct numpy cross-check
+    d = np.linalg.norm(coords[:, 0] - coords[:, 2], axis=-1) * 0.1
+    np.testing.assert_allclose(results["default"][:, 0], d, atol=1e-5)
