@@ -9,11 +9,13 @@ host->device once; nothing large ever travels device->host).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": X}
 
-vs_baseline compares device featurization+filter+train throughput against a
-single-threaded vectorized NumPy implementation of the same math measured
-in-process (a strict lower bound on any CPU engine doing the same per-frame
-work — the reference's PLUMED driver additionally parses text and loops
-serially per frame).
+vs_baseline compares the device-resident end-to-end pipeline time against a
+reference-style CPU pipeline measured in-process: a serial per-frame
+featurization loop (the PLUMED-driver execution model) plus torch-CPU
+minibatch deep-TICA training (the reference's stack without its Lightning
+overhead) plus the host filter. detail additionally carries a much stricter
+baseline — the SAME XLA programs compiled for the host CPU
+(vs_xla_cpu_mirror) — and a vectorized-numpy featurization rate.
 """
 
 from __future__ import annotations
@@ -77,6 +79,23 @@ def _torch_epoch_seconds(features, lag, batch_size, n_batches):
     return time.time() - t0
 
 
+
+def _sync(x):
+    """Force completion: pull one scalar to the host. jax.block_until_ready
+    does not actually synchronize on tunneled backends (measured), so every
+    timing below ends with a 4-byte host read instead."""
+    import jax.numpy as jnp
+
+    leaf = x
+    while isinstance(leaf, (list, tuple)):
+        leaf = leaf[-1]
+    if isinstance(leaf, dict):
+        leaf = next(iter(leaf.values()))
+        while isinstance(leaf, (list, tuple)):
+            leaf = leaf[-1]
+    return float(jnp.ravel(jnp.asarray(leaf))[0])
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -136,7 +155,7 @@ def main() -> None:
 
     # warmup / compile
     t0 = time.time()
-    _ = featurize(gen_coords(jnp.arange(CHUNK))).block_until_ready()
+    _sync(featurize(gen_coords(jnp.arange(CHUNK))))
     print(f"[bench] featurize compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     # Host-side coordinates (the production input: frames decoded on host)
@@ -159,7 +178,7 @@ def main() -> None:
             chunk = jax.device_put(host_coords[c * CHUNK : (c + 1) * CHUNK])
             blocks.append(featurize(chunk))
         features = jnp.concatenate(blocks)[:N_FRAMES]
-        features.block_until_ready()
+        _sync(features)
         t_feat = min(t_feat, time.time() - t0)
     fps = N_FRAMES / t_feat
 
@@ -168,12 +187,12 @@ def main() -> None:
         jax.device_put(host_coords[c * CHUNK : (c + 1) * CHUNK])
         for c in range(n_chunks)
     ]
-    jax.block_until_ready(dev_coords)
+    _sync(dev_coords)
     t_dev = float("inf")
     for _ in range(2):
         t0 = time.time()
         outs = [featurize(c) for c in dev_coords]
-        jax.block_until_ready(outs)
+        _sync(outs)
         t_dev = min(t_dev, time.time() - t0)
     fps_device = N_FRAMES / t_dev
     del dev_coords, outs
@@ -206,11 +225,11 @@ def main() -> None:
 
     t0 = time.time()
     filtered, ent, std = filter_stats(features)  # compile+run
-    filtered.block_until_ready()
+    _sync(filtered)
     print(f"[bench] filter compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     filtered, ent, std = filter_stats(features)
-    filtered.block_until_ready()
+    _sync(filtered)
     t_filter = time.time() - t0
 
     # ---- deep-TICA training (device-resident) ----
@@ -272,10 +291,10 @@ def main() -> None:
         )
 
     t0 = time.time()
-    params, opt_state, _ = epoch_fn(
+    params, opt_state, loss0 = epoch_fn(
         params, opt_state, x_t, x_lag, make_perms()
-    )  # compile
-    jax.block_until_ready(params)
+    )  # compile (sync on the loss so the scalar-pull program is warm too)
+    _sync(loss0)
     print(f"[bench] epoch compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     loss = None
@@ -283,7 +302,7 @@ def main() -> None:
         params, opt_state, loss = epoch_fn(
             params, opt_state, x_t, x_lag, make_perms()
         )
-    jax.block_until_ready(params)
+    _sync(loss)
     t_epoch = (time.time() - t0) / TRAIN_EPOCHS
 
     # ---- CPU mirror: the identical pipeline (same jit programs, same data)
@@ -300,22 +319,22 @@ def main() -> None:
                 jnp.asarray(host_coords[c * CHUNK : (c + 1) * CHUNK])
                 for c in range(n_chunks)
             ]
-            feat_cpu(cpu_chunks[0]).block_until_ready()  # compile
+            _sync(feat_cpu(cpu_chunks[0]))  # compile
             t_feat_cpu = float("inf")
             for _ in range(2):
                 t0 = time.time()
                 outs = [feat_cpu(c) for c in cpu_chunks]
-                jax.block_until_ready(outs)
+                _sync(outs)
                 t_feat_cpu = min(t_feat_cpu, time.time() - t0)
             features_cpu = jnp.concatenate(outs)[:N_FRAMES]
             del outs, cpu_chunks
 
             filter_cpu = jax.jit(filter_stats.__wrapped__)
             r = filter_cpu(features_cpu)
-            jax.block_until_ready(r)  # compile
+            _sync(r[0])  # compile
             t0 = time.time()
             filtered_cpu, _, _ = filter_cpu(features_cpu)
-            filtered_cpu.block_until_ready()
+            _sync(filtered_cpu)
             t_filter_cpu = time.time() - t0
 
             mu_c = jnp.mean(filtered_cpu, 0)
@@ -334,13 +353,13 @@ def main() -> None:
                 .permutation(n_pairs)[: n_batches * BATCH]
                 .reshape(n_batches, BATCH)
             )
-            params_c, opt_c, _ = epoch_cpu(
+            params_c, opt_c, loss_c0 = epoch_cpu(
                 params_c, opt_c, xt_c, xl_c, perms_c
             )  # compile
-            jax.block_until_ready(params_c)
+            _sync(loss_c0)
             t0 = time.time()
-            params_c, opt_c, _ = epoch_cpu(params_c, opt_c, xt_c, xl_c, perms_c)
-            jax.block_until_ready(params_c)
+            params_c, opt_c, loss_c = epoch_cpu(params_c, opt_c, xt_c, xl_c, perms_c)
+            _sync(loss_c)
             t_epoch_cpu = time.time() - t0
     else:
         # CPU-only environment: the device numbers ARE the CPU numbers.
