@@ -164,3 +164,135 @@ def sharded_feature_matrix_stats(
         "min": np.asarray(xmin, np.float64),
         "max": np.asarray(xmax, np.float64),
     }
+
+
+def feature_sharded_covariance_ring(
+    features: np.ndarray,
+    mesh: Optional[Mesh] = None,
+    center: bool = True,
+):
+    """Covariance of a FEATURE-axis-sharded matrix via a ppermute ring.
+
+    The tensor-parallel path for feature counts whose full (F, F) covariance
+    and even the (N, F) matrix exceed one device's HBM (SURVEY §2.5 "TP":
+    BASELINE config 5, 100k frames x 50k features). Each device holds a
+    feature shard X_i (N, F/D) and the output row-block C[i] (F/D, F):
+
+        C[i, j] = X_i^T X_j  — computed in D ring steps; at step s every
+        device multiplies its resident shard by the visiting shard and
+        ppermutes the visitor along the ring. Peak memory per device:
+        2 shards + 1 row-block; ICI traffic: (D-1) shard-sized hops.
+
+    Returns C row-sharded over the mesh axis as a jax.Array (n_frames
+    normalization, mean-centered when `center`).
+    """
+    mesh = mesh or get_mesh()
+    n_dev = mesh.devices.size
+    x = np.asarray(features, np.float32)
+    n, f = x.shape
+    pad = (-f) % n_dev
+    if pad:
+        x = np.concatenate([x, np.zeros((n, pad), np.float32)], axis=1)
+    fp = x.shape[1]
+    sharding = NamedSharding(mesh, P(None, FRAME_AXIS))
+    x_d = jax.device_put(x, sharding)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, FRAME_AXIS),),
+        out_specs=P(FRAME_AXIS, None),
+    )
+    def ring_cov(xs):
+        # xs: (N, F/D) local shard
+        if center:
+            local = xs - jnp.mean(xs, axis=0, keepdims=True)
+        else:
+            local = xs
+        width = local.shape[1]
+        my = jax.lax.axis_index(FRAME_AXIS)
+        perm = [(d, (d - 1) % n_dev) for d in range(n_dev)]
+
+        def body(s, carry):
+            visitor, block = carry
+            # visitor currently came from device (my + s) % n_dev
+            src = (my + s) % n_dev
+            contrib = local.T @ visitor / n
+            block = jax.lax.dynamic_update_slice(
+                block, contrib.T, (src * width, 0)
+            )
+            visitor = jax.lax.ppermute(visitor, FRAME_AXIS, perm)
+            return visitor, block
+
+        block0 = jnp.zeros((fp, width), jnp.float32)
+        # The accumulator becomes device-varying after the first update;
+        # mark it varying up front so the loop carry types line up.
+        block0 = jax.lax.pvary(block0, (FRAME_AXIS,))
+        _, block = jax.lax.fori_loop(0, n_dev, body, (local, block0))
+        # block holds C[:, my-columns] = (F, F/D); transpose to row-block
+        return block.T
+
+    return jax.jit(ring_cov)(x_d), fp
+
+
+def feature_sharded_timelagged_ring(
+    x_t: np.ndarray,
+    x_lag: np.ndarray,
+    mesh: Optional[Mesh] = None,
+):
+    """Symmetrized (C0, Ctau) for TICA with the FEATURE axis sharded over the
+    mesh — the ring form of `timelagged_covariances` for feature counts whose
+    (N, F) matrix / (F, F) covariances exceed one device (BASELINE config 5).
+    Both outputs come back row-sharded; both are symmetric (the symmetrized
+    estimators), so the column-block each device accumulates doubles as its
+    transposed row-block. Data are mean-centered with the symmetrized mean,
+    matching tica_math.timelagged_covariances.
+    """
+    mesh = mesh or get_mesh()
+    n_dev = mesh.devices.size
+    a = np.asarray(x_t, np.float32)
+    b = np.asarray(x_lag, np.float32)
+    n, f = a.shape
+    pad = (-f) % n_dev
+    if pad:
+        z = np.zeros((n, pad), np.float32)
+        a = np.concatenate([a, z], axis=1)
+        b = np.concatenate([b, z], axis=1)
+    fp = a.shape[1]
+    sharding = NamedSharding(mesh, P(None, FRAME_AXIS))
+    a_d = jax.device_put(a, sharding)
+    b_d = jax.device_put(b, sharding)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, FRAME_AXIS), P(None, FRAME_AXIS)),
+        out_specs=(P(FRAME_AXIS, None), P(FRAME_AXIS, None)),
+    )
+    def ring(at, bl):
+        mean = 0.5 * (jnp.mean(at, axis=0) + jnp.mean(bl, axis=0))
+        at = at - mean
+        bl = bl - mean
+        width = at.shape[1]
+        my = jax.lax.axis_index(FRAME_AXIS)
+        perm = [(d, (d - 1) % n_dev) for d in range(n_dev)]
+
+        def body(s, carry):
+            vt, vl, blk0, blkt = carry
+            src = (my + s) % n_dev
+            c0 = 0.5 * (at.T @ vt + bl.T @ vl) / n
+            ct = 0.5 * (at.T @ vl + bl.T @ vt) / n
+            blk0 = jax.lax.dynamic_update_slice(blk0, c0.T, (src * width, 0))
+            blkt = jax.lax.dynamic_update_slice(blkt, ct.T, (src * width, 0))
+            vt = jax.lax.ppermute(vt, FRAME_AXIS, perm)
+            vl = jax.lax.ppermute(vl, FRAME_AXIS, perm)
+            return vt, vl, blk0, blkt
+
+        zeros = jax.lax.pvary(jnp.zeros((fp, width), jnp.float32), (FRAME_AXIS,))
+        _, _, blk0, blkt = jax.lax.fori_loop(
+            0, n_dev, body, (at, bl, zeros, zeros)
+        )
+        return blk0.T, blkt.T
+
+    c0, ctau = jax.jit(ring)(a_d, b_d)
+    return c0, ctau, fp

@@ -139,3 +139,38 @@ def test_lag_pairs_respect_trajectory_seams():
     assert x_t.shape == (14, 2)
     mixed = np.abs(x_lag - x_t) > 50
     assert not mixed.any()
+
+
+def test_feature_sharded_covariance_ring(rng):
+    """TP path: feature-axis ring covariance == single-device covariance."""
+    from deep_cartograph_tpu.parallel.sharding import (
+        feature_sharded_covariance_ring,
+    )
+
+    n, f = 500, 37  # not divisible by 8 -> exercises feature padding
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    c_sharded, fp = feature_sharded_covariance_ring(x)
+    c = np.asarray(c_sharded)[:f, :f]
+
+    xc = x - x.mean(axis=0, keepdims=True)
+    expected = xc.T @ xc / n
+    np.testing.assert_allclose(c, expected, atol=1e-5)
+    # padded rows/cols are zero
+    assert np.abs(np.asarray(c_sharded)[f:, :]).max() == 0.0
+
+
+def test_feature_sharded_timelagged_ring(rng):
+    from deep_cartograph_tpu.cv.tica_math import timelagged_covariances
+    from deep_cartograph_tpu.parallel.sharding import (
+        feature_sharded_timelagged_ring,
+    )
+
+    n, f, lag = 400, 21, 5
+    x = np.cumsum(rng.standard_normal((n + lag, f)).astype(np.float32), 0)
+    xt, xl = x[:-lag], x[lag:]
+    c0_s, ct_s, fp = feature_sharded_timelagged_ring(xt, xl)
+    c0_ref, ct_ref, _ = timelagged_covariances(xt, xl)
+    np.testing.assert_allclose(np.asarray(c0_s)[:f, :f], np.asarray(c0_ref),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ct_s)[:f, :f], np.asarray(ct_ref),
+                               atol=1e-3, rtol=1e-4)
