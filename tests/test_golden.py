@@ -68,9 +68,12 @@ def _train_linear(cv_name, features, tmp_dir, system):
 def _generate(tmp_dir):
     system = _fixture_system(tmp_dir)
     features = _compute_features_matrix(system)
-    pca = _train_linear("pca", features, os.path.join(tmp_dir, "pca_run"), system)
-    tica = _train_linear("tica", features, os.path.join(tmp_dir, "tica_run"), system)
-    return {"features": features, "pca_projection": pca, "tica_projection": tica}
+    out = {"features": features}
+    for cv in ("pca", "tica", "htica", "ae", "deep_tica"):
+        out[f"{cv}_projection"] = _train_linear(
+            cv, features, os.path.join(tmp_dir, f"{cv}_run"), system
+        )
+    return out
 
 
 def test_golden_features_and_linear_cvs(tmp_path):
