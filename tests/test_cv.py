@@ -299,3 +299,31 @@ def test_loaded_linear_model_writes_unbiased_plumed(cv_dataset, tmp_path):
     os.makedirs(plumed_dir)
     loaded.write_plumed_files(cv_dataset["topology"], plumed_dir)
     assert sorted(os.listdir(plumed_dir)) == ["plumed_pca_unbiased.zip"]
+
+
+def test_atom_sensitivity_aggregation(cv_dataset, tmp_path):
+    """Per-atom sensitivity = max over features touching the atom
+    (reference cv_calculator.py:691-723); outputs land in
+    sensitivity_analysis/ as csv + B-factor pdb + plot."""
+    calc, _ = _train("pca", cv_dataset, tmp_path)
+
+    labels = ["dist-@CA_1-@CA_5", "dist-@CA_1-@CA_9"]
+    per_atom = calc.compute_atom_sensitivities(
+        labels, np.asarray([0.3, 0.8], np.float32)
+    )
+    # atom CA_1 touched by both features -> max; 5 and 9 get their own
+    top_idx = {}
+    from deep_cartograph_tpu.io.topology import Topology
+
+    top = Topology.from_file(calc.ref_topology_path)
+    for resid in (1, 5, 9):
+        top_idx[resid] = int(top.atom_index("CA", resid))
+    assert per_atom[top_idx[1]] == pytest.approx(0.8)
+    assert per_atom[top_idx[5]] == pytest.approx(0.3)
+    assert per_atom[top_idx[9]] == pytest.approx(0.8)
+
+    sens_dir = os.path.join(
+        str(tmp_path), "pca", "sensitivity_analysis", "sensitivity_analysis_1"
+    )
+    assert os.path.exists(os.path.join(sens_dir, "sensitivity_analysis.csv"))
+    assert os.path.exists(os.path.join(sens_dir, "sensitivity_structure.pdb"))
