@@ -145,3 +145,37 @@ def write_dcd(path: str, coords: np.ndarray, timestep_ps: float = 1.0) -> None:
         for f in range(n_frames):
             for axis in range(3):
                 fh.write(rec(coords[f, :, axis].astype("<f4").tobytes()))
+
+
+def iter_dcd_chunks_prefetch(path: str, chunk: int, prefetch_depth: int = 2):
+    """Yield (<=chunk, n_atoms, 3) float32 arrays decoded on a NATIVE
+    background thread (native/dcdloader.cpp) so host decode overlaps device
+    compute. Falls back to synchronous read_dcd when the native library or
+    the little-endian fast path is unavailable."""
+    from deep_cartograph_tpu.native.build import load_native
+
+    lib = load_native()
+    handle = None
+    if lib is not None and hasattr(lib, "dcd_open"):
+        handle = lib.dcd_open(path.encode(), int(chunk), int(prefetch_depth))
+    if not handle:
+        n_atoms, n_frames, _, _, _ = read_dcd_header(path)
+        for start in range(0, n_frames, chunk):
+            yield read_dcd(path, start, min(start + chunk, n_frames))
+        return
+    import ctypes
+
+    try:
+        n_atoms = lib.dcd_natoms(handle)
+        buf = np.empty((chunk, n_atoms, 3), np.float32)
+        while True:
+            n = lib.dcd_next_chunk(
+                handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            )
+            if n == 0:
+                return
+            if n < 0:
+                raise DCDError(f"Native DCD decode error ({n}) in {path}")
+            yield buf[:n].copy()
+    finally:
+        lib.dcd_close(handle)

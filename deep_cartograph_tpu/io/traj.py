@@ -187,7 +187,11 @@ def iter_frame_chunks(
     """Yield (<=chunk, n_atoms, 3) arrays. DCD chunks are read lazily; other
     formats are loaded once and sliced."""
     suffix = Path(trajectory_path).suffix.lower()
-    if suffix == ".dcd":
+    if suffix == ".dcd" and stride == 1:
+        from deep_cartograph_tpu.io.dcd import iter_dcd_chunks_prefetch
+
+        yield from iter_dcd_chunks_prefetch(trajectory_path, chunk)
+    elif suffix == ".dcd":
         from deep_cartograph_tpu.io.dcd import read_dcd, read_dcd_header
 
         _, n_frames, _, _, _ = read_dcd_header(trajectory_path)

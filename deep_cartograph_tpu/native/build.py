@@ -15,7 +15,7 @@ logger = logging.getLogger(__name__)
 
 _NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libcarto_native.so")
-_SOURCES = ["xdrcodec.cpp", "diptest.cpp", "colvars_io.cpp"]
+_SOURCES = ["xdrcodec.cpp", "diptest.cpp", "colvars_io.cpp", "dcdloader.cpp"]
 _LIB_CACHE: Optional[ctypes.CDLL] = None
 _BUILD_FAILED = False
 
@@ -41,7 +41,7 @@ def build_native() -> bool:
     if not sources:
         return False
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-fopenmp", "-pthread",
         *sources, "-o", _LIB_PATH,
     ]
     try:
@@ -93,6 +93,19 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
         ]
+    if hasattr(lib, "dcd_open"):
+        lib.dcd_open.restype = ctypes.c_void_p
+        lib.dcd_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.dcd_natoms.restype = ctypes.c_int
+        lib.dcd_natoms.argtypes = [ctypes.c_void_p]
+        lib.dcd_nframes.restype = ctypes.c_int
+        lib.dcd_nframes.argtypes = [ctypes.c_void_p]
+        lib.dcd_next_chunk.restype = ctypes.c_int
+        lib.dcd_next_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)
+        ]
+        lib.dcd_close.restype = None
+        lib.dcd_close.argtypes = [ctypes.c_void_p]
     if hasattr(lib, "dip_statistics_batch"):
         lib.dip_statistics_batch.restype = None
         lib.dip_statistics_batch.argtypes = [

@@ -296,3 +296,53 @@ def feature_sharded_timelagged_ring(
 
     c0, ctau = jax.jit(ring)(a_d, b_d)
     return c0, ctau, fp
+
+
+def sharded_kde_logdensity(
+    samples: np.ndarray,
+    grid_points: np.ndarray,
+    bandwidth: float,
+    mesh: Optional[Mesh] = None,
+):
+    """log KDE density on a replicated grid with SAMPLES frame-sharded.
+
+    The FES ingredient at pod scale (SURVEY §2.5: KDE is frame-reducible):
+    each device computes a partial logsumexp over its sample shard; shards
+    combine with the numerically stable pmax/psum decomposition
+        lse(all) = m + log(psum(exp(lse_local - m))),  m = pmax(lse_local).
+    Padded samples carry -inf kernels. Returns log density (grid,) on host.
+    """
+    mesh = mesh or get_mesh()
+    n_dev = mesh.devices.size
+    x = np.asarray(samples, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, d = x.shape
+    g = np.asarray(grid_points, np.float32).reshape(-1, d)
+    xp, _ = pad_to_multiple(x, n_dev)
+    w = np.zeros(xp.shape[0], np.float32)
+    w[:n] = 1.0
+    sharding = frame_sharding(mesh)
+    x_d = jax.device_put(xp, sharding)
+    w_d = jax.device_put(w, sharding)
+    g_d = jax.device_put(g, NamedSharding(mesh, P()))
+    inv_two_bw2 = 1.0 / (2.0 * bandwidth * bandwidth)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P()),
+        out_specs=P(),
+    )
+    def kde(xs, wt, grid):
+        d2 = jnp.sum(
+            (grid[:, None, :] - xs[None, :, :]) ** 2, axis=-1
+        )  # (grid, local_samples)
+        logk = -d2 * inv_two_bw2 + jnp.where(wt > 0, 0.0, -jnp.inf)[None, :]
+        lse_local = jax.scipy.special.logsumexp(logk, axis=1)
+        m = jax.lax.pmax(lse_local, FRAME_AXIS)
+        total = jax.lax.psum(jnp.exp(lse_local - m), FRAME_AXIS)
+        return m + jnp.log(total)
+
+    lse = jax.jit(kde)(x_d, w_d, g_d)
+    return np.asarray(lse) - np.log(n)

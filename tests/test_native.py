@@ -56,3 +56,20 @@ def test_native_dip_matches_python(rng):
     for j in range(data.shape[1]):
         expected = dip_statistic(data[:, j])
         assert abs(native_dips[j] - expected) < 1e-12, j
+
+
+def test_native_dcd_prefetch_loader(tmp_path, rng):
+    """Native background-thread DCD loader matches the Python codec."""
+    from deep_cartograph_tpu.io.dcd import (
+        iter_dcd_chunks_prefetch,
+        read_dcd,
+        write_dcd,
+    )
+
+    coords = (rng.standard_normal((57, 9, 3)) * 12).astype(np.float32)
+    path = str(tmp_path / "p.dcd")
+    write_dcd(path, coords)
+    chunks = list(iter_dcd_chunks_prefetch(path, chunk=16))
+    assert [c.shape[0] for c in chunks] == [16, 16, 16, 9]
+    np.testing.assert_allclose(np.concatenate(chunks), coords, atol=0)
+    np.testing.assert_allclose(read_dcd(path), coords, atol=0)

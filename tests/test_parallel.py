@@ -174,3 +174,18 @@ def test_feature_sharded_timelagged_ring(rng):
                                atol=1e-3, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ct_s)[:f, :f], np.asarray(ct_ref),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_sharded_kde_matches_dense(rng):
+    from deep_cartograph_tpu.parallel.sharding import sharded_kde_logdensity
+
+    samples = rng.standard_normal(203).astype(np.float32)  # odd -> padding
+    grid = np.linspace(-3, 3, 50).astype(np.float32)
+    bw = 0.3
+    logp = sharded_kde_logdensity(samples, grid, bw)
+
+    d2 = (grid[:, None] - samples[None, :]) ** 2
+    logk = -d2 / (2 * bw * bw)
+    from scipy.special import logsumexp
+    expected = logsumexp(logk, axis=1) - np.log(len(samples))
+    np.testing.assert_allclose(logp, expected, atol=1e-5)
