@@ -259,9 +259,14 @@ def cluster_data(
 
     algo = settings["algorithm"]
     if algo == "kmeans":
-        return kmeans_clustering(
-            features, settings["num_clusters"], settings["n_init"], initial_centroids
-        )
+        from deep_cartograph_tpu.utils.device import maybe_cpu
+
+        # n_init restarts x Lloyd iterations over the same small matrix
+        with maybe_cpu(np.asarray(features).size * 100):
+            return kmeans_clustering(
+                features, settings["num_clusters"], settings["n_init"],
+                initial_centroids,
+            )
     if algo == "hdbscan":
         return hdbscan_clustering(
             features,
@@ -335,16 +340,18 @@ def find_centroids(
             "The dimension of the centroids does not match the clustering "
             "features dimension."
         )
-    samples = jnp.asarray(
-        data.loc[:, clustering_features].to_numpy(), jnp.float32
-    )
-    cents = jnp.asarray(centroids, jnp.float32)
-    d2 = (
-        jnp.sum(samples**2, 1)[:, None]
-        - 2 * samples @ cents.T
-        + jnp.sum(cents**2, 1)[None, :]
-    )
-    closest = np.asarray(jnp.argmin(d2, axis=0))
+    from deep_cartograph_tpu.utils.device import maybe_cpu
+
+    sample_mat = data.loc[:, clustering_features].to_numpy()
+    with maybe_cpu(sample_mat.size * max(len(centroids), 1)):
+        samples = jnp.asarray(sample_mat, jnp.float32)
+        cents = jnp.asarray(centroids, jnp.float32)
+        d2 = (
+            jnp.sum(samples**2, 1)[:, None]
+            - 2 * samples @ cents.T
+            + jnp.sum(cents**2, 1)[None, :]
+        )
+        closest = np.asarray(jnp.argmin(d2, axis=0))
     data["centroid"] = False
     data.loc[data.index[closest], "centroid"] = True
     return data
@@ -356,9 +363,13 @@ def assign_nearest_neighbor(
     """Index of the nearest reference sample for each new point — brute-force
     1-NN as a device matmul (replaces sklearn NearestNeighbors in the
     reference traj_cluster workflow, traj_cluster_workflow.py:227-238)."""
-    a = jnp.asarray(new_points, jnp.float32)
-    b = jnp.asarray(reference_points, jnp.float32)
-    d2 = (
-        jnp.sum(a**2, 1)[:, None] - 2 * a @ b.T + jnp.sum(b**2, 1)[None, :]
-    )
-    return np.asarray(jnp.argmin(d2, axis=1))
+    from deep_cartograph_tpu.utils.device import maybe_cpu
+
+    with maybe_cpu(float(np.asarray(new_points).shape[0])
+                   * np.asarray(reference_points).size):
+        a = jnp.asarray(new_points, jnp.float32)
+        b = jnp.asarray(reference_points, jnp.float32)
+        d2 = (
+            jnp.sum(a**2, 1)[:, None] - 2 * a @ b.T + jnp.sum(b**2, 1)[None, :]
+        )
+        return np.asarray(jnp.argmin(d2, axis=1))

@@ -134,15 +134,18 @@ def compute_fes(
             data[:n_trim], grid_points, bandwidth, kt, num_blocks
         )
     else:
-        fes, error = _kde_fes_device(
-            jnp.asarray(data[:n_trim]),
-            jnp.asarray(grid_points),
-            jnp.float32(bandwidth),
-            jnp.float32(kt),
-            num_blocks,
-        )
-        fes = np.asarray(fes)
-        error = np.asarray(error) if num_blocks > 1 else None
+        from deep_cartograph_tpu.utils.device import maybe_cpu
+
+        with maybe_cpu(float(grid_points.shape[0]) * n_trim):
+            fes, error = _kde_fes_device(
+                jnp.asarray(data[:n_trim]),
+                jnp.asarray(grid_points),
+                jnp.float32(bandwidth),
+                jnp.float32(kt),
+                num_blocks,
+            )
+            fes = np.asarray(fes)
+            error = np.asarray(error) if num_blocks > 1 else None
     if d == 2:
         fes = fes.reshape(num_bins, num_bins)
         if error is not None:

@@ -105,20 +105,27 @@ def _feature_blocks(features: np.ndarray):
 
 def shannon_entropy(features: np.ndarray, num_bins: int = 100) -> np.ndarray:
     """Per-feature entropy, rounded to 3 decimals like the reference.
-    Feature-blocked for matrices larger than the per-dispatch budget."""
-    parts = [
-        np.asarray(_entropy_all(jnp.asarray(block), num_bins))
-        for block in _feature_blocks(features)
-    ]
+    Feature-blocked for matrices larger than the per-dispatch budget; small
+    host inputs run on the host CPU (remote compile latency dominates)."""
+    from deep_cartograph_tpu.utils.device import maybe_cpu
+
+    with maybe_cpu(np.asarray(features).size):
+        parts = [
+            np.asarray(_entropy_all(jnp.asarray(block), num_bins))
+            for block in _feature_blocks(features)
+        ]
     return np.round(np.concatenate(parts), 3)
 
 
 def standard_deviation(features: np.ndarray) -> np.ndarray:
     """Per-feature std, rounded to 3 decimals like the reference."""
-    parts = [
-        np.asarray(_std_all(jnp.asarray(block)))
-        for block in _feature_blocks(features)
-    ]
+    from deep_cartograph_tpu.utils.device import maybe_cpu
+
+    with maybe_cpu(np.asarray(features).size):
+        parts = [
+            np.asarray(_std_all(jnp.asarray(block)))
+            for block in _feature_blocks(features)
+        ]
     return np.round(np.concatenate(parts), 3)
 
 
@@ -242,10 +249,13 @@ def difference_filter(
 def feature_statistics(features: np.ndarray) -> Dict[str, np.ndarray]:
     """mean/std/min/max for every feature in one device pass
     (used by CV normalization; cf. reference cv_calculator.py:294-298)."""
-    arr = jnp.asarray(features)
-    mean = jnp.mean(arr, axis=0)
-    std = jnp.std(arr, axis=0)
-    fmin, fmax = _minmax_all(arr)
+    from deep_cartograph_tpu.utils.device import maybe_cpu
+
+    with maybe_cpu(np.asarray(features).size):
+        arr = jnp.asarray(features)
+        mean = jnp.mean(arr, axis=0)
+        std = jnp.std(arr, axis=0)
+        fmin, fmax = _minmax_all(arr)
     return {
         "mean": np.asarray(mean, np.float64),
         "std": np.asarray(std, np.float64),
