@@ -269,15 +269,23 @@ class CVCalculator(ABC):
         if cv_dimension:
             self.cv_dimension = cv_dimension
 
-        self.compute_cv()
-        self.set_labels()
+        # Small datasets: run the whole CV computation (training, projection,
+        # sensitivity — many distinct XLA programs) on the host CPU, where a
+        # remote accelerator's per-program compile latency would dominate.
+        from deep_cartograph_tpu.utils.device import maybe_cpu
 
-        if self.cv is None:
-            return None
-        self.normalize_cv()
-        projection = self.project_data(self.training_data, normalize_data=False)
-        self.save_model()
-        self.sensitivity_analysis()
+        with maybe_cpu(float(np.asarray(self.training_data).size) * 100):
+            self.compute_cv()
+            self.set_labels()
+
+            if self.cv is None:
+                return None
+            self.normalize_cv()
+            projection = self.project_data(
+                self.training_data, normalize_data=False
+            )
+            self.save_model()
+            self.sensitivity_analysis()
         return pd.DataFrame(np.asarray(projection), columns=self.cv_labels)
 
     # Abstract surface -------------------------------------------------

@@ -264,6 +264,24 @@ class Trainer:
         valid_data: Dict[str, np.ndarray],
         seed: int,
     ) -> TrainResult:
+        """Small trainings route to the host CPU: below ~2e9 element-epochs
+        the whole run finishes on host before a remote accelerator finishes
+        compiling the epoch program (same policy as geom.engine device=auto)."""
+        from deep_cartograph_tpu.utils.device import maybe_cpu
+
+        work = float(
+            sum(np.asarray(v).size for v in train_data.values())
+        ) * max(self.config.max_epochs, 1)
+        with maybe_cpu(work, threshold=2e9):
+            return self._fit(params, train_data, valid_data, seed)
+
+    def _fit(
+        self,
+        params,
+        train_data: Dict[str, np.ndarray],
+        valid_data: Dict[str, np.ndarray],
+        seed: int,
+    ) -> TrainResult:
         cfg = self.config
         n_train = len(next(iter(train_data.values())))
         n_valid = len(next(iter(valid_data.values())))
