@@ -50,3 +50,51 @@ def test_projection_matches_reference_csvs(tmp_path):
         # The reference's own regression asserts exact equality of these CSVs;
         # we reproduce them to their full written precision (1e-4 contract).
         np.testing.assert_allclose(ours, ref, atol=1e-4, err_msg=cv)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_DATA), reason="reference checkout not available"
+)
+@pytest.mark.parametrize(
+    "name,cfg",
+    [
+        (
+            "virtual_dihedrals",
+            {"plumed_settings": {"traj_stride": 1, "features": {
+                "dihedral_groups": {"tor": {
+                    "selection": "all", "periodic_encoding": True,
+                    "search_mode": "virtual"}}}}},
+        ),
+        (
+            "distances",
+            {"plumed_settings": {"traj_stride": 1, "features": {
+                "distance_groups": {"dist": {
+                    "first_selection": "all", "second_selection": "all",
+                    "first_stride": 1, "second_stride": 10,
+                    "skip_neigh_residues": False,
+                    "skip_bonded_atoms": True}}}}},
+        ),
+    ],
+)
+def test_featurization_matches_plumed_ground_truth(tmp_path, name, cfg):
+    """Our featurizer vs colvars produced by the actual PLUMED driver
+    (the reference's committed compute_features outputs; cf. reference
+    tests/test_compute_features.py:44-137): identical feature discovery
+    (same columns, same order) and values equal to the files' precision."""
+    from deep_cartograph_tpu.io.colvars import read_colvars
+    from deep_cartograph_tpu.tools.compute_features import compute_features
+
+    paths = compute_features(
+        configuration=cfg,
+        trajectory_data=[os.path.join(_DATA, "input/trajectory/CA_example.dcd")],
+        topology_data=[os.path.join(_DATA, "input/topology/CA_example.pdb")],
+        output_folder=str(tmp_path),
+    )
+    ours = read_colvars(paths[0])
+    ref = read_colvars(
+        os.path.join(_DATA, "reference/compute_features", f"{name}.dat")
+    )
+    assert list(ours.columns) == list(ref.columns)
+    np.testing.assert_allclose(
+        ours.to_numpy(), ref.to_numpy(), atol=1.1e-4, err_msg=name
+    )
