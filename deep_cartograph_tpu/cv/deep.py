@@ -886,12 +886,12 @@ class DeepTICACalculator(NonLinear):
         )
         w = batch["weight"][:, None]
         wsum = jnp.maximum(jnp.sum(batch["weight"]), 1e-12)
-        mu = 0.5 * (
-            jnp.sum(q_t * w, axis=0) + jnp.sum(q_lag * w, axis=0)
-        ) / wsum
+        # mlcolvar TICA estimator: mean and C0 from q_t only, Ctau symmetrized
+        # (cf. cv/tica_math.timelagged_covariances).
+        mu = jnp.sum(q_t * w, axis=0) / wsum
         a = (q_t - mu) * w
         b = (q_lag - mu) * w
-        c0 = 0.5 * (a.T @ (q_t - mu) + b.T @ (q_lag - mu)) / wsum
+        c0 = a.T @ (q_t - mu) / wsum
         ctau = 0.5 * (a.T @ (q_lag - mu) + b.T @ (q_t - mu)) / wsum
         evals, _ = generalized_eigh(ctau, c0, self.tica_reg)
         return evals

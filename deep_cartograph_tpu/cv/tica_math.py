@@ -57,12 +57,16 @@ def create_timelagged_dataset_multi(
 def timelagged_covariances(
     x_t: jnp.ndarray, x_lag: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Symmetrized C0, Ctau and the shared mean (remove_average semantics)."""
+    """C0, symmetrized Ctau, and the removed mean — mlcolvar's estimator
+    (the reference's TICA.compute): the mean AND C0 come from x_t only,
+    x_lag is centered with x_t's mean, and only Ctau is symmetrized.
+    Verified against the reference's committed TICA training output
+    (reproduces tests/data/reference/train_colvars/tica_*.csv to 1e-4)."""
     n = x_t.shape[0]
-    mu = 0.5 * (jnp.mean(x_t, axis=0) + jnp.mean(x_lag, axis=0))
+    mu = jnp.mean(x_t, axis=0)
     a = x_t - mu
     b = x_lag - mu
-    c0 = 0.5 * (a.T @ a + b.T @ b) / n
+    c0 = a.T @ a / n
     ctau = 0.5 * (a.T @ b + b.T @ a) / n
     return c0, ctau, mu
 
@@ -111,7 +115,7 @@ def tica(
         c0, ctau, _ = timelagged_covariances(xt, xl)
     else:
         n = xt.shape[0]
-        c0 = 0.5 * (xt.T @ xt + xl.T @ xl) / n
+        c0 = xt.T @ xt / n
         ctau = 0.5 * (xt.T @ xl + xl.T @ xt) / n
     w, v = generalized_eigh(ctau, c0, reg)
     evals = np.asarray(w)[:out_features]

@@ -30,7 +30,9 @@ def sharded_covariances(
     x_lag: np.ndarray,
     mesh: Optional[Mesh] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Symmetrized (C0, Ctau) with the frame axis sharded across the mesh.
+    """(C0, symmetrized Ctau) with the frame axis sharded across the mesh,
+    using mlcolvar's estimator (mean and C0 from x_t only; cf.
+    cv/tica_math.timelagged_covariances).
 
     Per-shard partial sums are reduced with psum — the covariance is
     embarrassingly reducible along frames (SURVEY §2.5).
@@ -62,7 +64,7 @@ def sharded_covariances(
         return s_a, s_b, count
 
     s_a, s_b, count = jax.jit(partial_moments)(xt_d, xl_d, w_d)
-    mu = 0.5 * (s_a + s_b) / count
+    mu = s_a / count
 
     @partial(
         shard_map,
@@ -73,12 +75,12 @@ def sharded_covariances(
     def partial_cov(a, b, wt, mean):
         ac = (a - mean) * wt[:, None]
         bc = (b - mean) * wt[:, None]
-        c0 = jax.lax.psum(ac.T @ ac + bc.T @ bc, FRAME_AXIS)
+        c0 = jax.lax.psum(ac.T @ ac, FRAME_AXIS)
         ctau = jax.lax.psum(ac.T @ bc + bc.T @ ac, FRAME_AXIS)
         return c0, ctau
 
     c0, ctau = jax.jit(partial_cov)(xt_d, xl_d, w_d, mu)
-    c0 = 0.5 * np.asarray(c0) / float(count)
+    c0 = np.asarray(c0) / float(count)
     ctau = 0.5 * np.asarray(ctau) / float(count)
     return c0, ctau
 
@@ -240,13 +242,13 @@ def feature_sharded_timelagged_ring(
     x_lag: np.ndarray,
     mesh: Optional[Mesh] = None,
 ):
-    """Symmetrized (C0, Ctau) for TICA with the FEATURE axis sharded over the
-    mesh — the ring form of `timelagged_covariances` for feature counts whose
-    (N, F) matrix / (F, F) covariances exceed one device (BASELINE config 5).
-    Both outputs come back row-sharded; both are symmetric (the symmetrized
-    estimators), so the column-block each device accumulates doubles as its
-    transposed row-block. Data are mean-centered with the symmetrized mean,
-    matching tica_math.timelagged_covariances.
+    """(C0, symmetrized Ctau) for TICA with the FEATURE axis sharded over
+    the mesh — the ring form of `timelagged_covariances` for feature counts
+    whose (N, F) matrix / (F, F) covariances exceed one device (BASELINE
+    config 5). Both outputs come back row-sharded; both are symmetric, so
+    the column-block each device accumulates doubles as its transposed
+    row-block. Estimator matches tica_math.timelagged_covariances (mean and
+    C0 from x_t only, Ctau symmetrized).
     """
     mesh = mesh or get_mesh()
     n_dev = mesh.devices.size
@@ -270,7 +272,7 @@ def feature_sharded_timelagged_ring(
         out_specs=(P(FRAME_AXIS, None), P(FRAME_AXIS, None)),
     )
     def ring(at, bl):
-        mean = 0.5 * (jnp.mean(at, axis=0) + jnp.mean(bl, axis=0))
+        mean = jnp.mean(at, axis=0)
         at = at - mean
         bl = bl - mean
         width = at.shape[1]
@@ -280,7 +282,7 @@ def feature_sharded_timelagged_ring(
         def body(s, carry):
             vt, vl, blk0, blkt = carry
             src = (my + s) % n_dev
-            c0 = 0.5 * (at.T @ vt + bl.T @ vl) / n
+            c0 = at.T @ vt / n
             ct = 0.5 * (at.T @ vl + bl.T @ vt) / n
             blk0 = jax.lax.dynamic_update_slice(blk0, c0.T, (src * width, 0))
             blkt = jax.lax.dynamic_update_slice(blkt, ct.T, (src * width, 0))

@@ -182,3 +182,59 @@ def test_cluster_workflow_matches_reference_algorithm(tmp_path):
     score = norm(chs) - norm(dbs) + norm(sils)
     expected = labels[int(np.argmax(score))]
     assert adjusted_rand_score(ours, expected) == 1.0
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_DATA), reason="reference checkout not available"
+)
+def test_linear_training_matches_reference_csvs(tmp_path):
+    """Training pca/tica/htica from the reference's colvars reproduces its
+    committed projected CSVs (reference tests/test_train_colvars.py:88-162).
+    PCA matches exactly; TICA/HTICA match to the files' precision up to the
+    documented deterministic sign convention."""
+    from deep_cartograph_tpu.tools.train_colvars import train_colvars
+
+    feats = [
+        l.strip()
+        for l in open(
+            os.path.join(
+                _DATA, "reference/filter_features/filtered_virtual_dihedrals.txt"
+            )
+        )
+        if l.strip()
+    ]
+    out = train_colvars(
+        configuration={
+            "cvs": ["pca", "tica", "htica"],
+            "common": {
+                "dimension": 2, "lag_time": 1,
+                "features_normalization": "mean_std",
+                "num_subspaces": 10, "subspaces_dimension": 5,
+                "input_colvars": {"start": 0, "stop": None, "stride": 1},
+            },
+        },
+        train_colvars_paths=[
+            os.path.join(_DATA, "reference/compute_features/virtual_dihedrals.dat")
+        ],
+        train_topologies=[os.path.join(_DATA, "input/topology/CA_example.pdb")],
+        trajectory_names=["CA_example"],
+        features_list=feats,
+        output_folder=str(tmp_path),
+    )
+    for cv in ("pca", "tica", "htica"):
+        ours = pd.read_csv(out[cv]["traj_paths"][0]).to_numpy()
+        ref = pd.read_csv(
+            os.path.join(
+                _DATA, "reference/train_colvars",
+                f"{cv}_projected_trajectory.csv",
+            )
+        ).to_numpy()
+        if cv == "pca":
+            np.testing.assert_allclose(ours, ref, atol=1e-4, err_msg=cv)
+        else:
+            # per-column sign-insensitive (deterministic vs solver-emitted)
+            for j in range(ours.shape[1]):
+                d = min(
+                    np.abs(s * ours[:, j] - ref[:, j]).max() for s in (1, -1)
+                )
+                assert d <= 1.1e-4, (cv, j, d)
