@@ -423,4 +423,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The remote TPU service occasionally aborts a compile (transient
+    # "TPU backend error (Aborted)" observed); one retry salvages the run.
+    try:
+        main()
+    except Exception as exc:
+        print(f"[bench] first attempt failed ({exc}); retrying once",
+              file=sys.stderr, flush=True)
+        time.sleep(10)
+        main()
