@@ -25,6 +25,8 @@ from deep_cartograph_tpu.utils.common import check_data
 
 logger = logging.getLogger("deep_cartograph_tpu")
 
+from deep_cartograph_tpu.utils.profiling import traced
+
 
 def find_common_resids(ref_topology: str, topologies: List[str]) -> List[int]:
     """Reference resids present in every topology via sequence alignment
@@ -44,6 +46,7 @@ def build_ca_selection(resids: List[int]) -> str:
     return f"backbone and name CA and resid {resid_str}"
 
 
+@traced("align_trajectories")
 def align_trajectories(
     trajectory_data: Optional[Union[List[str], str]] = None,
     topology_data: Optional[Union[List[str], str]] = None,

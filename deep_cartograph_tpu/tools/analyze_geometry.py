@@ -22,7 +22,10 @@ from deep_cartograph_tpu.utils.common import save_data, validate_configuration
 
 logger = logging.getLogger("deep_cartograph_tpu")
 
+from deep_cartograph_tpu.utils.profiling import traced
 
+
+@traced("analyze_geometry")
 def analyze_geometry(
     configuration: Dict,
     trajectories: List[str],

@@ -33,7 +33,10 @@ from deep_cartograph_tpu.utils.common import (
 
 logger = logging.getLogger("deep_cartograph_tpu")
 
+from deep_cartograph_tpu.utils.profiling import traced
 
+
+@traced("compute_features")
 def compute_features(
     configuration: Dict,
     trajectory_data: Union[List[str], str],

@@ -20,7 +20,10 @@ from deep_cartograph_tpu.utils.common import save_list, validate_configuration
 
 logger = logging.getLogger("deep_cartograph_tpu")
 
+from deep_cartograph_tpu.utils.profiling import traced
 
+
+@traced("filter_features")
 def filter_features(
     configuration: Dict,
     colvars_paths: Union[str, List[str]],

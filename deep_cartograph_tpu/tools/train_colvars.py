@@ -31,6 +31,8 @@ from deep_cartograph_tpu.utils.common import (
 
 logger = logging.getLogger("deep_cartograph_tpu")
 
+from deep_cartograph_tpu.utils.profiling import traced
+
 
 class TrainColvarsWorkflow:
     """Runs the train_colvars workflow (cf. reference
@@ -263,6 +265,7 @@ class TrainColvarsWorkflow:
         return self.get_output_paths()
 
 
+@traced("train_colvars")
 def train_colvars(
     configuration: Dict,
     train_colvars_paths: List[str],

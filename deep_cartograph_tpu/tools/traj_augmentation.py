@@ -22,7 +22,10 @@ from deep_cartograph_tpu.utils.common import (
 
 logger = logging.getLogger("deep_cartograph_tpu")
 
+from deep_cartograph_tpu.utils.profiling import traced
 
+
+@traced("traj_augmentation")
 def traj_augmentation(
     configuration: Dict,
     trajectory_data: Union[List[str], str],

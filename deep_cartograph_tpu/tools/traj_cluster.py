@@ -37,6 +37,8 @@ from deep_cartograph_tpu.utils.common import files_exist, validate_configuration
 
 logger = logging.getLogger("deep_cartograph_tpu")
 
+from deep_cartograph_tpu.utils.profiling import traced
+
 
 class TrajClusterWorkflow:
     def __init__(
@@ -261,6 +263,7 @@ class TrajClusterWorkflow:
         return output_paths
 
 
+@traced("traj_cluster")
 def traj_cluster(
     configuration: Dict,
     cv_traj_paths: List[str],

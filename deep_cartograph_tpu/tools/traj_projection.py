@@ -27,6 +27,8 @@ from deep_cartograph_tpu.utils.common import files_exist, validate_configuration
 
 logger = logging.getLogger("deep_cartograph_tpu")
 
+from deep_cartograph_tpu.utils.profiling import traced
+
 
 class TrajProjectionWorkflow:
     def __init__(
@@ -178,6 +180,7 @@ class TrajProjectionWorkflow:
         return output_cv_data
 
 
+@traced("traj_projection")
 def traj_projection(
     configuration: Dict,
     colvars_paths: List[str],

@@ -52,3 +52,33 @@ def annotate(name: str) -> Iterator[None]:
 
     with jax.profiler.TraceAnnotation(name):
         yield
+
+
+@contextlib.contextmanager
+def maybe_trace(stage_name: str) -> Iterator[None]:
+    """Capture an XLA device trace for a pipeline stage when
+    DEEP_CARTO_PROFILE_DIR is set; no-op (and no logging) otherwise."""
+    profile_dir = os.environ.get(PROFILE_ENV)
+    if not profile_dir:
+        yield
+        return
+    import jax
+
+    trace_dir = os.path.join(profile_dir, stage_name.replace(" ", "_"))
+    with jax.profiler.trace(trace_dir):
+        yield
+
+
+def traced(stage_name: str):
+    """Decorator form of maybe_trace for tool entry points."""
+    import functools
+
+    def decorate(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            with maybe_trace(stage_name):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return decorate
