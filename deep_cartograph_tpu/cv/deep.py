@@ -307,6 +307,17 @@ class NonLinear(CVCalculator):
             with open(os.path.join(folder, "score.txt"), "w") as fh:
                 fh.write(f"{result.score:.7g} ({result.description}, "
                          f"epoch {result.best_epoch})\n")
+            # Orbax mirror (sharding-aware; the restore format for pod runs)
+            try:
+                import orbax.checkpoint as ocp
+
+                with ocp.StandardCheckpointer() as ckpt:
+                    ckpt.save(
+                        os.path.abspath(os.path.join(folder, "orbax")),
+                        jax.tree.map(np.asarray, result.params),
+                    )
+            except Exception as exc:
+                logger.debug("Orbax checkpoint skipped: %s", exc)
         except Exception as exc:  # checkpointing must never kill training
             logger.warning("Could not save try checkpoint: %s", exc)
 
