@@ -70,11 +70,16 @@ def sample_trajectory(
     x_init: Tuple[float, float] = (-0.5, 1.4),
 ) -> np.ndarray:
     """(n_frames, 2) Langevin trajectory on the Müller-Brown surface."""
+    from deep_cartograph_tpu.utils.device import maybe_cpu
+
     key = jax.random.PRNGKey(seed)
     x0 = jnp.asarray(x_init, jnp.float32)
-    path = _sample(key, x0, n_frames * stride, stride, jnp.float32(dt),
-                   jnp.float32(kt))
-    return np.asarray(path)
+    # The sequential scan is latency-bound, not throughput-bound: small
+    # sample counts run on the host CPU (remote compile would dominate).
+    with maybe_cpu(float(n_frames) * stride * 100):
+        path = _sample(key, x0, n_frames * stride, stride, jnp.float32(dt),
+                       jnp.float32(kt))
+        return np.asarray(path)
 
 
 def basin_labels(xy: np.ndarray) -> np.ndarray:
