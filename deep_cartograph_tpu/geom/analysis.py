@@ -66,6 +66,15 @@ def RMSD(
         return np.array([])
 
     coords = read_traj(trajectory_path, topology_path)
+    from deep_cartograph_tpu.utils.device import maybe_cpu
+
+    with maybe_cpu(float(coords.size) * 10):
+        return _rmsd_device(
+            coords, ref_topology, fit_sim, fit_ref, ana_sim, ana_ref
+        )
+
+
+def _rmsd_device(coords, ref_topology, fit_sim, fit_ref, ana_sim, ana_ref):
     mobile_fit = jnp.asarray(coords[:, fit_sim])
     ref_fit = jnp.asarray(ref_topology.positions[fit_ref])
     mobile_ana = jnp.asarray(coords[:, ana_sim])
@@ -96,21 +105,24 @@ def RMSF(
     fit_idx = topology.select(fitting_selection)
     rmsf_idx = topology.select(selection)
 
-    frames = jnp.asarray(coords)
-    # Step 1: average structure from frames aligned to frame 0 on fit atoms
-    ref0 = frames[0]
-    R, mc, rc = _fit_transform(frames, ref0, fit_idx)
-    aligned = (frames - mc) @ jnp.swapaxes(R, -1, -2) + rc
-    average = jnp.mean(aligned, axis=0)
-    # Step 2: align all frames to the average
-    R, mc, rc = _fit_transform(frames, average, fit_idx)
-    aligned = (frames - mc) @ jnp.swapaxes(R, -1, -2) + rc
-    # Per-atom RMSF over the analysis selection
-    sel = aligned[:, rmsf_idx]
-    mean_pos = jnp.mean(sel, axis=0)
-    rmsf_atoms = np.asarray(
-        jnp.sqrt(jnp.mean(jnp.sum((sel - mean_pos) ** 2, -1), axis=0))
-    )
+    from deep_cartograph_tpu.utils.device import maybe_cpu
+
+    with maybe_cpu(float(coords.size) * 10):
+        frames = jnp.asarray(coords)
+        # Step 1: average structure from frames aligned to frame 0 on fit atoms
+        ref0 = frames[0]
+        R, mc, rc = _fit_transform(frames, ref0, fit_idx)
+        aligned = (frames - mc) @ jnp.swapaxes(R, -1, -2) + rc
+        average = jnp.mean(aligned, axis=0)
+        # Step 2: align all frames to the average
+        R, mc, rc = _fit_transform(frames, average, fit_idx)
+        aligned = (frames - mc) @ jnp.swapaxes(R, -1, -2) + rc
+        # Per-atom RMSF over the analysis selection
+        sel = aligned[:, rmsf_idx]
+        mean_pos = jnp.mean(sel, axis=0)
+        rmsf_atoms = np.asarray(
+            jnp.sqrt(jnp.mean(jnp.sum((sel - mean_pos) ** 2, -1), axis=0))
+        )
 
     resids = topology.resids[rmsf_idx]
     residues = sorted(set(int(r) for r in resids))
