@@ -169,7 +169,7 @@ def dRMSD(
         raise ValueError("No pairwise distances found for dRMSD selection.")
 
     # Reference distances (single frame)
-    ref_featurizer = Featurizer(ref_topology, labels)
+    ref_featurizer = Featurizer(ref_topology, labels, device="auto")
     ref_distances = ref_featurizer(ref_topology.positions[None])[0]
 
     # Trajectory distances (translated features)
@@ -181,7 +181,9 @@ def dRMSD(
             len(labels) - len(keep),
         )
     topology = Topology.from_file(topology_path)
-    featurizer = Featurizer(topology, [traj_labels[i] for i in keep])
+    featurizer = Featurizer(
+        topology, [traj_labels[i] for i in keep], device="auto"
+    )
     coords = read_traj(trajectory_path, topology_path)
     traj_distances = featurizer(coords)
 

@@ -130,7 +130,15 @@ class Featurizer:
         return None
 
     def __call__(self, coords: np.ndarray) -> np.ndarray:
-        return self.evaluator(coords)
+        device = None
+        if self.device_policy == "cpu":
+            device = self._host_cpu_device()
+        elif self.device_policy == "auto":
+            work = float(np.asarray(coords).shape[0]) * self.topology.n_atoms \
+                * max(self.plan.n_features, 1)
+            if work < self._AUTO_CPU_WORK_THRESHOLD:
+                device = self._host_cpu_device()
+        return self._get_evaluator(device)(coords)
 
     def featurize_trajectory(
         self,
