@@ -35,6 +35,11 @@ logger = logging.getLogger("deep_cartograph_tpu")
 
 from deep_cartograph_tpu.utils.profiling import traced
 
+# Compiled-plan reuse across trajectories AND across the pipeline's multiple
+# compute_features invocations (train/validation/supplementary/waypoint data
+# share one feature list + topology -> one XLA program for everything).
+_featurizer_cache: Dict = {}
+
 
 @traced("compute_features")
 def compute_features(
@@ -164,13 +169,19 @@ def compute_features(
         ).build(colvars_path)
 
         # --- the TPU compute path ---
+        # One Featurizer per distinct (topology, feature list): trajectories
+        # sharing a topology reuse the compiled plan instead of re-tracing.
         topology = Topology.from_file(plumed_topology_path)
-        featurizer = Featurizer(
-            topology,
-            features_list,
-            fit_template,
-            device=configuration["engine"].get("device", "auto"),
-        )
+        cache_key = (Path(topology_path).resolve(), tuple(features_list))
+        featurizer = _featurizer_cache.get(cache_key)
+        if featurizer is None:
+            featurizer = Featurizer(
+                topology,
+                features_list,
+                fit_template,
+                device=configuration["engine"].get("device", "auto"),
+            )
+            _featurizer_cache[cache_key] = featurizer
         features = featurizer.featurize_trajectory(
             trajectory_path,
             traj_stride=stride,
