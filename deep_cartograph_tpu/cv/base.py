@@ -360,7 +360,11 @@ class CVCalculator(ABC):
             file_label="traj_label",
         )
         self.projection_data_labels = colvars_df.pop("traj_label").to_numpy()
-        projected = self.project_data(colvars_df.to_numpy(dtype=np.float32))
+        data = colvars_df.to_numpy(dtype=np.float32)
+        from deep_cartograph_tpu.utils.device import maybe_cpu
+
+        with maybe_cpu(float(data.size) * 100):
+            projected = self.project_data(data)
         return pd.DataFrame(np.asarray(projected), columns=self.cv_labels)
 
     def set_labels(self) -> None:
