@@ -128,3 +128,52 @@ def test_netcdf_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(back, coords, atol=1e-6)
     strided = read_traj(path, start=1, stop=5, stride=2)
     np.testing.assert_allclose(strided, coords[1:5:2], atol=1e-6)
+
+
+def test_selection_language_full_grammar(tmp_path):
+    """Selection parser edge cases: ranges, parens, precedence, wildcards,
+    resname/segid/chain clauses (MDAnalysis-syntax subset used by the
+    reference's configs)."""
+    from deep_cartograph_tpu.io.topology import Topology
+
+    lines = []
+    atoms = [
+        # serial, name, resname, chain, resid, element
+        (1, "N", "ALA", "A", 1, "N"),
+        (2, "CA", "ALA", "A", 1, "C"),
+        (3, "C", "ALA", "A", 1, "C"),
+        (4, "O", "ALA", "A", 1, "O"),
+        (5, "CB", "ALA", "A", 1, "C"),
+        (6, "CA", "GLY", "A", 2, "C"),
+        (7, "CA", "SER", "B", 3, "C"),
+        (8, "OG", "SER", "B", 3, "O"),
+        (9, "HG", "SER", "B", 3, "H"),
+        (10, "OW", "HOH", "B", 4, "O"),
+    ]
+    for s, n, rn, ch, ri, el in atoms:
+        name_f = f" {n:<3}" if len(n) < 4 else n
+        lines.append(
+            f"ATOM  {s:>5} {name_f} {rn:<4}{ch}{ri:>4}    "
+            f"{1.0*s:8.3f}{0.0:8.3f}{0.0:8.3f}  1.00  0.00          "
+            f"{el:>2}\n"
+        )
+    pdb = tmp_path / "sys.pdb"
+    pdb.write_text("".join(lines) + "END\n")
+    top = Topology.from_file(str(pdb))
+
+    def sel(s):
+        return sorted(int(i) + 1 for i in top.select(s))  # 1-based serials
+
+    assert sel("resid 1") == [1, 2, 3, 4, 5]
+    assert sel("resid 1:2 and name CA") == [2, 6]
+    assert sel("resname ALA GLY and name CA") == [2, 6]
+    assert sel("(name CA or name CB) and not resname SER") == [2, 5, 6]
+    assert sel("name O* and not name OW") == [4, 8]
+    assert sel("chainID B and protein") == [7, 8, 9]
+    assert sel("backbone") == [1, 2, 3, 4, 6, 7]
+    assert sel("sidechain") == [5, 8, 9]
+    assert sel("not protein") == [10]
+    # MDAnalysis convention: index is 0-based, bynum is 1-based
+    assert sel("index 3:5") == [4, 5, 6]
+    assert sel("bynum 3:5") == [3, 4, 5]
+    assert sel("none") == []
