@@ -177,3 +177,23 @@ def test_selection_language_full_grammar(tmp_path):
     assert sel("index 3:5") == [4, 5, 6]
     assert sel("bynum 3:5") == [3, 4, 5]
     assert sel("none") == []
+
+
+def test_colvars_start_stop_stride(tmp_path):
+    """input_colvars start/stop/stride slicing (reference colvars.py:254-320)."""
+    from deep_cartograph_tpu.io.colvars import (
+        create_dataframe_from_files,
+        write_colvars,
+    )
+
+    path = str(tmp_path / "c.dat")
+    data = np.column_stack(
+        [np.arange(20, dtype=np.float32), np.arange(20, dtype=np.float32) * 10]
+    )
+    write_colvars(path, data, ["time", "dist-@CA_1-@CA_3"], fmt="%.4f")
+    df = create_dataframe_from_files(
+        colvars_paths=[path], start=2, stop=15, stride=4
+    )
+    np.testing.assert_allclose(
+        df["dist-@CA_1-@CA_3"].to_numpy(), [20.0, 60.0, 100.0, 140.0]
+    )
