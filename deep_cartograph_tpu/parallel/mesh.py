@@ -69,3 +69,18 @@ def init_distributed(
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def local_shard(items: Sequence, process_id: Optional[int] = None,
+                num_processes: Optional[int] = None) -> list:
+    """Partition a work list (trajectory paths, colvars files) across pod
+    hosts: host i takes items [i::num_processes]. Single-process runs get
+    the whole list. This is the DCN-spanning data-loading split (SURVEY §5):
+    each host decodes only its own trajectories; frame shards then meet on
+    the mesh through device_put + collectives.
+    """
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    if nproc <= 1:
+        return list(items)
+    return list(items)[pid::nproc]

@@ -189,3 +189,13 @@ def test_sharded_kde_matches_dense(rng):
     from scipy.special import logsumexp
     expected = logsumexp(logk, axis=1) - np.log(len(samples))
     np.testing.assert_allclose(logp, expected, atol=1e-5)
+
+
+def test_local_shard_partitions_work():
+    from deep_cartograph_tpu.parallel.mesh import local_shard
+
+    items = [f"traj_{i}.dcd" for i in range(7)]
+    assert local_shard(items) == items  # single-process: everything
+    parts = [local_shard(items, process_id=p, num_processes=3) for p in range(3)]
+    assert sorted(sum(parts, [])) == sorted(items)
+    assert all(len(p) >= 2 for p in parts)
