@@ -7,7 +7,7 @@ setup(
         "TPU-native framework for mapping MD trajectories onto learned "
         "collective variables (JAX/XLA/Pallas)"
     ),
-    packages=find_packages(include=["deep_cartograph_tpu*"]),
+    packages=find_packages(include=["deep_cartograph_tpu*", "deep_cartograph*"]),
     python_requires=">=3.10",
     entry_points={
         "console_scripts": [

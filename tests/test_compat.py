@@ -144,3 +144,39 @@ def test_traj_projection_workflow(tmp_path, ca_system, colvars_file):
         output_folder=out,
     )
     assert result2["pca"]["traj_paths"] == [proj_csv]
+
+
+def test_reference_import_paths_drop_in():
+    """The reference's real import statements (taken from its tests and
+    notebooks) resolve against the compat package and point at the
+    TPU-native implementations."""
+    from deep_cartograph.deep_carto import deep_cartograph
+    from deep_cartograph.tools import (
+        compute_features,
+        filter_features,
+        train_colvars,
+        traj_augmentation,
+        traj_cluster,
+        traj_projection,
+    )
+    from deep_cartograph.tools.compute_features import (
+        compute_features as cf2,
+    )
+    from deep_cartograph.modules.common import read_features_list
+    from deep_cartograph.modules.plumed.colvars import read_colvars
+    from deep_cartograph.modules.md import RMSD, get_features_list
+    from deep_cartograph.modules.bio import PDBTopologyMapper
+    from deep_cartograph.modules.statistics import optimize_clustering
+    from deep_cartograph.modules.figures import figures
+    from deep_cartograph.modules.cv_learning.cv_calculator import CVCalculator
+
+    import importlib
+
+    ours = importlib.import_module("deep_cartograph_tpu.tools.compute_features")
+    assert cf2 is ours.compute_features
+    assert compute_features is ours.compute_features
+    assert hasattr(figures, "plot_fes") or hasattr(figures, "plot_data")
+    assert callable(deep_cartograph) and callable(optimize_clustering)
+    assert callable(read_features_list) and callable(read_colvars)
+    assert callable(RMSD) and callable(get_features_list)
+    assert PDBTopologyMapper is not None and CVCalculator is not None
