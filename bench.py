@@ -142,12 +142,16 @@ def main() -> None:
     sel_b = np.zeros((n_feat, N_ATOMS), np.float32)
     sel_a[np.arange(n_feat), ii] = 1.0
     sel_b[np.arange(n_feat), jj] = 1.0
-    sel_diff = jnp.asarray(sel_a - sel_b)
+    sel_t = jnp.asarray((sel_a - sel_b).T)  # (A, P)
 
     @jax.jit
     def featurize(coords):
-        d = jnp.einsum("pa,fad->fpd", sel_diff, coords)
-        return jnp.sqrt(jnp.sum(d * d, -1)) * 0.1  # nm
+        # one matmul per axis, fused square-accumulate (no (F,P,3) temp)
+        d2 = None
+        for axis in range(3):
+            t = coords[:, :, axis] @ sel_t
+            d2 = t * t if d2 is None else d2 + t * t
+        return jnp.sqrt(d2) * 0.1  # nm
 
     @jax.jit
     def gen_and_featurize(frame_ids):

