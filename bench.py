@@ -312,11 +312,16 @@ def main() -> None:
     # ---- CPU mirror: the identical pipeline (same jit programs, same data)
     # compiled for the host CPU backend — the single-machine CPU baseline.
     # Fresh jit wrappers so the CPU trace/compile cache is independent.
+    final_loss = float(loss)
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         cpu = None
     if cpu is not None and cpu != dev:
+        # Release the accelerator-resident arrays first: their host-side
+        # mirrors otherwise pressure the single-core host and skew the CPU
+        # mirror timings.
+        del features, filtered, normed, x_t, x_lag, params, opt_state, loss
         with jax.default_device(cpu):
             feat_cpu = jax.jit(featurize.__wrapped__)
             cpu_chunks = [
@@ -426,7 +431,7 @@ def main() -> None:
             "xla_cpu_total_s": round(total_cpu, 3),
             "vs_xla_cpu_mirror": round(total_cpu / total, 2),
             "cpu_vectorized_numpy_frames_per_sec": round(cpu_fps, 1),
-            "final_loss": float(loss),
+            "final_loss": final_loss,
         },
     }
     print(json.dumps(result))
