@@ -48,8 +48,10 @@ __all__ = [
     "extract_PDB", "extract_XTC", "find_coordinates", "find_dihedrals",
     "find_distances", "find_supported_top", "find_supported_traj",
     "get_coordinate_labels", "get_dihedral_labels", "get_distance_labels",
+    "find_virtual_dihedral", "find_protein_back_dihedrals",
+    "find_all_real_dihedrals",
     "get_features_list", "get_indices", "get_num_frames", "get_number_atoms",
-    "interpolate_trajectory", "load_coordinates",
+    "interpolate_trajectory", "load_coordinates", "load_universe",
     "map_sensitivity_to_structure", "to_entity_name", "to_mda_selection",
 ]
 
@@ -174,3 +176,79 @@ def find_supported_top(parent_path, filename=None) -> List[str]:
     supported = [f for f in files if Path(f).suffix in SUPPORTED_TOP_FORMATS]
     supported.sort()
     return supported
+
+
+# -- remaining reference md.py names (path-taking wrappers + Universe shim) --
+
+def find_virtual_dihedral(topology_path: str, selection: str) -> List[str]:
+    from deep_cartograph_tpu.features.discovery import find_virtual_dihedrals
+
+    return find_virtual_dihedrals(_top(topology_path), selection)
+
+
+def find_protein_back_dihedrals(topology_path: str, selection: str) -> List[str]:
+    from deep_cartograph_tpu.features.discovery import (
+        find_protein_backbone_dihedrals,
+    )
+
+    return find_protein_backbone_dihedrals(_top(topology_path), selection)
+
+
+def find_all_real_dihedrals(topology_path: str, selection: str) -> List[str]:
+    from deep_cartograph_tpu.features.discovery import find_real_dihedrals
+
+    return find_real_dihedrals(_top(topology_path), selection)
+
+
+class _AtomGroup:
+    def __init__(self, topology: Topology, indices: np.ndarray):
+        self.topology = topology
+        self.indices = np.asarray(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+
+class _TrajectoryView:
+    def __init__(self, coords: np.ndarray):
+        self.coords = coords
+        self.n_frames = coords.shape[0]
+
+
+class Universe:
+    """Minimal stand-in for the MDAnalysis Universe the reference's
+    load_universe returns (md.py:948-1016): topology + (optionally
+    PBC-prepared) coordinates with a select_atoms surface. Scripts using the
+    Universe for selections and frame access keep working; full MDAnalysis
+    semantics are out of scope."""
+
+    def __init__(self, topology: Topology, coords: np.ndarray):
+        self.topology = topology
+        self.trajectory = _TrajectoryView(coords)
+
+    def select_atoms(self, selection: str) -> _AtomGroup:
+        return _AtomGroup(self.topology, self.topology.select(selection))
+
+    @property
+    def dimensions(self):
+        return None
+
+
+def load_universe(
+    topology_file: str,
+    trajectory_file: str,
+    selection: str = "all",
+    prepare_trajectory: bool = False,
+) -> Universe:
+    """Functional equivalent of the reference's load_universe
+    (md.py:948-1016): loads coordinates (PBC-unwrapped and centered when
+    prepare_trajectory) and wraps them with the topology."""
+    top = _top(topology_file)
+    _, coords = load_coordinates(
+        topology_file, trajectory_file, selection="all",
+        prepare_trajectory=prepare_trajectory,
+    )
+    u = Universe(top, coords)
+    if len(u.select_atoms(selection)) == 0:
+        raise ValueError(f"Selection '{selection}' matched 0 atoms.")
+    return u
