@@ -64,6 +64,20 @@ def alphabeta(command_label: str, atoms: Union[Sequence, str], reference: float)
     )
 
 
+def sin_old(command_label: str, atoms: Union[Sequence, str]) -> str:
+    """Legacy ALPHABETA-proxy sine encoding 0.5*(1+cos(phi-pi/2))
+    (cf. reference command.py:229-251)."""
+    import math
+
+    return alphabeta(command_label, atoms, reference=-round(math.pi / 2, 4))
+
+
+def cos_old(command_label: str, atoms: Union[Sequence, str]) -> str:
+    """Legacy ALPHABETA-proxy cosine encoding 0.5*(1+cos(phi))
+    (cf. reference command.py:253-275)."""
+    return alphabeta(command_label, atoms, reference=0)
+
+
 def read(command_label: str, file_path: str, values: str, ignore_time: bool) -> str:
     cmd = f"{command_label}: READ FILE={file_path} VALUES={values}"
     if ignore_time:
