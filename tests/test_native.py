@@ -73,3 +73,39 @@ def test_native_dcd_prefetch_loader(tmp_path, rng):
     assert [c.shape[0] for c in chunks] == [16, 16, 16, 9]
     np.testing.assert_allclose(np.concatenate(chunks), coords, atol=0)
     np.testing.assert_allclose(read_dcd(path), coords, atol=0)
+
+
+def test_native_dcd_loader_lifecycle(tmp_path, rng):
+    """Early close with queued chunks, oversized chunk, EOF, missing file."""
+    import ctypes
+
+    from deep_cartograph_tpu.io.dcd import write_dcd
+    from deep_cartograph_tpu.native.build import load_native
+
+    lib = load_native()
+    if lib is None or not hasattr(lib, "dcd_open"):
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    coords = (rng.standard_normal((100, 7, 3)) * 8).astype(np.float32)
+    path = str(tmp_path / "t.dcd")
+    write_dcd(path, coords)
+
+    for depth in (1, 8):
+        h = lib.dcd_open(path.encode(), 16, depth)
+        buf = np.empty((16, 7, 3), np.float32)
+        assert lib.dcd_next_chunk(
+            h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        ) == 16
+        lib.dcd_close(h)  # queued chunks discarded, no deadlock
+
+    h = lib.dcd_open(path.encode(), 512, 2)
+    big = np.empty((512, 7, 3), np.float32)
+    ptr = big.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    assert lib.dcd_next_chunk(h, ptr) == 100
+    np.testing.assert_allclose(big[:100], coords, atol=0)
+    assert lib.dcd_next_chunk(h, ptr) == 0  # clean EOF
+    lib.dcd_close(h)
+
+    assert not lib.dcd_open(str(tmp_path / "nope.dcd").encode(), 16, 2)
