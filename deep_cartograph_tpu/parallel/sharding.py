@@ -229,7 +229,7 @@ def feature_sharded_covariance_ring(
         block0 = jnp.zeros((fp, width), jnp.float32)
         # The accumulator becomes device-varying after the first update;
         # mark it varying up front so the loop carry types line up.
-        block0 = jax.lax.pvary(block0, (FRAME_AXIS,))
+        block0 = jax.lax.pcast(block0, (FRAME_AXIS,), to="varying")
         _, block = jax.lax.fori_loop(0, n_dev, body, (local, block0))
         # block holds C[:, my-columns] = (F, F/D); transpose to row-block
         return block.T
@@ -290,7 +290,9 @@ def feature_sharded_timelagged_ring(
             vl = jax.lax.ppermute(vl, FRAME_AXIS, perm)
             return vt, vl, blk0, blkt
 
-        zeros = jax.lax.pvary(jnp.zeros((fp, width), jnp.float32), (FRAME_AXIS,))
+        zeros = jax.lax.pcast(
+            jnp.zeros((fp, width), jnp.float32), (FRAME_AXIS,), to="varying"
+        )
         _, _, blk0, blkt = jax.lax.fori_loop(
             0, n_dev, body, (at, bl, zeros, zeros)
         )

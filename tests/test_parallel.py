@@ -125,6 +125,39 @@ def test_graft_entry_contract():
     mod.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_self_provisions_devices():
+    """Driver contract: dryrun_multichip(8) must pass from a fresh process
+    that sees only ONE device (no --xla_force_host_platform_device_count
+    pre-set). Reproduces the round-1 MULTICHIP failure mode."""
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "_DC_TPU_DRYRUN_CHILD", "PALLAS_AXON_POOL_IPS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"  # parent: 1 CPU device, like the driver
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, {0!r}); "
+        "import jax; assert len(jax.devices()) == 1, jax.devices(); "
+        "import __graft_entry__; "
+        "__graft_entry__.dryrun_multichip(8)".format(repo)
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK: 8 devices" in proc.stdout
+
+
 def test_lag_pairs_respect_trajectory_seams():
     """Time-lagged pairs must not cross trajectory boundaries (documented
     deviation from the reference, which pairs across concatenated files)."""
