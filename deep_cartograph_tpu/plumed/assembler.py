@@ -293,7 +293,7 @@ class EnhancedSamplingAssembler(CollectiveVariableAssembler):
         elif self.sampling_method == "opes_metad_explore":
             self.add_opes(cmd.opes_metad_explore, "opes_metad_explore", ".bias")
         elif self.sampling_method == "opes_expanded":
-            raise NotImplementedError("OPES expanded sampling is not yet implemented.")
+            self.add_opes_expanded()
         else:
             raise ValueError(
                 f"Enhanced sampling method {self.sampling_method} not recognized."
@@ -336,6 +336,38 @@ class EnhancedSamplingAssembler(CollectiveVariableAssembler):
             grid_bins=[sp["grid_bin"]] * dim,
         )
         self.bias_labels.append("wt_metad.rbias")
+
+    def add_opes_expanded(self) -> None:
+        """OPES_EXPANDED over a line of umbrella ECVs spanning the CV range.
+
+        Exported CVs are min-max normalized to [-1, 1] (LinearCalculator CV
+        normalization / the Normalization postprocessing baked into deep-CV
+        exports), so the umbrella line spans exactly that range; sigma is the
+        configured kernel width. Goes beyond the reference, whose
+        add_opes_expanded raises NotImplementedError (assembler.py:610-616).
+        """
+        if not self.cv_type:
+            raise ValueError("Enhanced sampling requires a collective variable.")
+        dim = self.cv_params["cv_dimension"]
+        sp = self.sampling_params
+        self.input_content += "\n# Enhanced Sampling\n"
+        ecv_label = "ecv_umb"
+        self.input_content += cmd.ecv_umbrellas_line(
+            command_label=ecv_label,
+            arguments=self.cv_labels,
+            temperature=sp["temperature"],
+            cv_mins=[-1.0] * dim,
+            cv_maxs=[1.0] * dim,
+            sigmas=[sp["sigma"]] * dim,
+            barrier=sp["barrier"],
+        )
+        self.input_content += cmd.opes_expanded(
+            command_label="opes_expanded",
+            arguments=[f"{ecv_label}.*"],
+            pace=sp["pace"],
+            observation_steps=sp["observation_steps"],
+        )
+        self.bias_labels.append("opes_expanded.bias")
 
     def add_opes(self, builder, bias_name: str, suffix: str) -> None:
         if not self.cv_type:

@@ -249,6 +249,33 @@ def opes_expanded(
     )
 
 
+def ecv_umbrellas_line(
+    command_label: str,
+    arguments: List[str],
+    temperature: float,
+    cv_mins: List[float],
+    cv_maxs: List[float],
+    sigmas: List[float],
+    barrier: float,
+) -> str:
+    """ECV_UMBRELLAS_LINE: a line of umbrella expansion CVs along the
+    (normalized) CV range, the expansion OPES_EXPANDED samples over.
+    The reference never wired this (its add_opes_expanded raises
+    NotImplementedError, cf. assembler.py:610-616); this completes the
+    OPES_EXPANDED export using its command.py:951-988 OPES_EXPANDED text."""
+    return (
+        "ECV_UMBRELLAS_LINE ...\n"
+        f" LABEL={command_label}\n"
+        f" ARG={','.join(arguments)}\n"
+        f" TEMP={temperature:.10g}\n"
+        f" CV_MIN={','.join(f'{v:.10g}' for v in cv_mins)}\n"
+        f" CV_MAX={','.join(f'{v:.10g}' for v in cv_maxs)}\n"
+        f" SIGMA={','.join(f'{s:.10g}' for s in sigmas)}\n"
+        f" BARRIER={barrier:.10g}\n"
+        "... ECV_UMBRELLAS_LINE\n"
+    )
+
+
 def metad(
     command_label: str,
     arguments: List[str],

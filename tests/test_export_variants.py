@@ -33,6 +33,7 @@ def _make_calc(cv_name, config, tmp_path, ca_system, rng):
         ("wt_metadynamics", "METAD"),
         ("opes_metad", "OPES_METAD"),
         ("opes_metad_explore", "OPES_METAD_EXPLORE"),
+        ("opes_expanded", "OPES_EXPANDED"),
     ],
 )
 def test_bias_method_exports(method, expect, tmp_path, ca_system, rng):
@@ -50,6 +51,12 @@ def test_bias_method_exports(method, expect, tmp_path, ca_system, rng):
     assert expect in text
     if method == "wt_metadynamics":
         assert "BIASFACTOR" in text and "CALC_RCT" in text
+    elif method == "opes_expanded":
+        # umbrella-line expansion over the [-1,1]-normalized CV range
+        assert "ECV_UMBRELLAS_LINE" in text
+        assert "CV_MIN=-1" in text and "CV_MAX=1" in text
+        assert "ARG=ecv_umb.*" in text
+        assert "OBSERVATION_STEPS=" in text
     else:
         assert "BARRIER" in text and "COMPRESSION_THRESHOLD" in text
 
