@@ -1,21 +1,37 @@
-"""Benchmark harness: featurize + filter + train deep-TICA end-to-end.
+"""Benchmark: featurize + filter + train deep-TICA, END-TO-END through the
+shipped framework code path (BASELINE.json north star: 100k frames x ~1k
+features).
 
-Mirrors the BASELINE.json north-star workload (100k frames x ~1k features).
-The whole pipeline is device-resident — frames are generated on device,
-features stay in HBM through filtering and training, and only scalar results
-come back to the host (the production design: trajectory chunks stream
-host->device once; nothing large ever travels device->host).
+TPU pipeline (timed, host->device upload INCLUSIVE):
+  DCD file on disk
+    -> native prefetching decoder (native/dcdloader.cpp via
+       io.dcd.iter_dcd_chunks_prefetch: decode thread overlaps device work)
+    -> async jax.device_put per chunk (JAX async dispatch double-buffers
+       the tunnel transfer against featurization)
+    -> geom.kernels.PlanEvaluator (the shipped featurization engine:
+       selector-matmul distances + dihedral sin/cos from a compiled plan)
+    -> stats.descriptors entropy/std + quantile screen (features.filter
+       semantics, device-resident)
+    -> models.training.Trainer with the shipped DeepTICA loss
+       (cv.deep.make_deep_tica_loss over models.networks.DeepTICANet).
+
+Reference-style CPU baseline (measured on subsets, scaled linearly): the
+reference's ACTUAL pipeline architecture including its inter-step text I/O
+(SURVEY 3.2/3.4) — PLUMED-driver-style serial per-frame featurization, the
+colvars ASCII write (fprintf-equivalent np.savetxt), pandas re-reads by the
+filter and training steps (reference reads the file at least twice; the
+filter's per-feature re-read design makes it far worse — reported in
+detail), numpy filter statistics, and torch-CPU minibatch deep-TICA
+training (mlcolvar/Lightning's stack without their framework overhead,
+i.e. a LOWER bound for the reference).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": X}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": X, "detail": {...}}
 
-vs_baseline compares the device-resident end-to-end pipeline time against a
-reference-style CPU pipeline measured in-process: a serial per-frame
-featurization loop (the PLUMED-driver execution model) plus torch-CPU
-minibatch deep-TICA training (the reference's stack without its Lightning
-overhead) plus the host filter. detail additionally carries a much stricter
-baseline — the SAME XLA programs compiled for the host CPU
-(vs_xla_cpu_mirror) — and a vectorized-numpy featurization rate.
+vs_baseline = ref_style_cpu_total_s / tpu_total_s, both end-to-end,
+upload-inclusive on the TPU side and text-I/O-inclusive on the CPU side.
+detail carries every component, an XLA-on-host-CPU featurize mirror, and
+MFU for the selector contraction.
 """
 
 from __future__ import annotations
@@ -23,25 +39,146 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", 100_000))
-N_ATOMS = 48          # 48 CA atoms -> 1035 non-neighbor pairwise distances
-CHUNK = int(os.environ.get("BENCH_CHUNK", 16384))
-TRAIN_EPOCHS = int(os.environ.get("BENCH_EPOCHS", 5))
+N_ATOMS = 48
+CHUNK = int(os.environ.get("BENCH_CHUNK", 20_000))
+EPOCHS = int(os.environ.get("BENCH_EPOCHS", 10))
 BATCH = 4096
 LAG = 10
+STD_QUANTILE = 0.5  # keep features above the median std (both pipelines)
+V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (MFU denominator)
 
 
-def _torch_epoch_seconds(features, lag, batch_size, n_batches):
-    """One deep-TICA training epoch in torch on CPU — the reference's
-    training stack (mlcolvar/Lightning are torch CPU underneath; this measures
-    the same math without their framework overhead, i.e. a lower bound)."""
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _sync(x):
+    """Force completion: pull one scalar to the host. jax.block_until_ready
+    does not actually synchronize on tunneled backends (measured), so every
+    timing below ends with a 4-byte host read instead."""
+    import jax.numpy as jnp
+
+    leaf = x
+    while isinstance(leaf, (list, tuple)):
+        leaf = leaf[-1]
+    if isinstance(leaf, dict):
+        leaf = next(iter(leaf.values()))
+        while isinstance(leaf, (list, tuple)):
+            leaf = leaf[-1]
+    return float(jnp.ravel(jnp.asarray(leaf))[0])
+
+
+# ---------------------------------------------------------------------------
+# Synthetic CA trajectory (low-frequency collective modes + noise)
+# ---------------------------------------------------------------------------
+
+def make_trajectory(n_frames: int, n_atoms: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 4 * np.pi, n_atoms)
+    base = np.stack([2.3 * np.cos(t), 2.3 * np.sin(t), 1.5 * t], 1).astype(
+        np.float32
+    )
+    n_modes = 8
+    phases = rng.uniform(0, 2 * np.pi, n_modes).astype(np.float32)
+    freqs = rng.uniform(0.5, 3.0, n_modes).astype(np.float32)
+    shapes = (rng.standard_normal((n_modes, n_atoms, 3)) * 0.3).astype(np.float32)
+    tt = np.arange(n_frames, dtype=np.float32) / n_frames * 2 * np.pi
+    waves = np.sin(freqs[None, :] * tt[:, None] + phases[None, :])
+    return (base[None] + np.einsum("fm,mad->fad", waves, shapes)).astype(
+        np.float32
+    )
+
+
+def make_labels(n_atoms: int):
+    """All non-neighbor CA pair distances + sin/cos of consecutive virtual
+    dihedrals — the feature families of the reference's default config."""
+    labels = []
+    for i in range(1, n_atoms + 1):
+        for j in range(i + 2, n_atoms + 1):
+            labels.append(f"dist-@CA_{i}-@CA_{j}")
+    n_dihedrals = n_atoms - 3
+    for i in range(1, n_dihedrals + 1):
+        labels.append(f"sin-@CA_{i}-@CA_{i + 1}-@CA_{i + 2}-@CA_{i + 3}")
+        labels.append(f"cos-@CA_{i}-@CA_{i + 1}-@CA_{i + 2}-@CA_{i + 3}")
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Reference-style CPU components (all per-subset, scaled by the caller)
+# ---------------------------------------------------------------------------
+
+def _np_dihedrals(frame: np.ndarray, quads: np.ndarray) -> np.ndarray:
+    b1 = frame[quads[:, 1]] - frame[quads[:, 0]]
+    b2 = frame[quads[:, 2]] - frame[quads[:, 1]]
+    b3 = frame[quads[:, 3]] - frame[quads[:, 2]]
+    n1 = np.cross(b1, b2)
+    n2 = np.cross(b2, b3)
+    m1 = np.cross(n1, b2 / np.linalg.norm(b2, axis=1, keepdims=True))
+    x = np.einsum("ij,ij->i", n1, n2)
+    y = np.einsum("ij,ij->i", m1, n2)
+    return np.arctan2(y, x)
+
+
+def ref_serial_featurize(coords: np.ndarray, pairs, quads) -> float:
+    """Serial per-frame loop — the PLUMED-driver execution model (one frame
+    at a time through the feature list; reference cli.py:85-163). Vectorized
+    within the frame, which PLUMED is not: a generous LOWER bound."""
+    t0 = time.time()
+    for f in range(coords.shape[0]):
+        frame = coords[f]
+        d = frame[pairs[:, 0]] - frame[pairs[:, 1]]
+        _ = np.sqrt(np.einsum("pc,pc->p", d, d)) * 0.1
+        phi = _np_dihedrals(frame, quads)
+        _ = np.sin(phi)
+        _ = np.cos(phi)
+    return time.time() - t0
+
+
+def ref_text_io_seconds(features_sub: np.ndarray, tmpdir: str):
+    """(write_s, read_s) for the colvars ASCII round trip on a subset.
+    Write: np.savetxt %.6f — the fprintf-per-value model of PLUMED's PRINT.
+    Read: pandas.read_csv — the reference's actual colvars read path
+    (modules/plumed/colvars.py uses pandas)."""
+    import pandas as pd
+
+    path = os.path.join(tmpdir, "colvars_subset.dat")
+    t0 = time.time()
+    np.savetxt(path, features_sub, fmt="%.6f")
+    write_s = time.time() - t0
+    t0 = time.time()
+    pd.read_csv(path, sep=r"\s+", header=None)
+    read_s = time.time() - t0
+    return write_s, read_s
+
+
+def ref_filter_stats_seconds(features: np.ndarray, n_probe: int = 100) -> float:
+    """Numpy entropy (100-bin histogram, reference statistics.py:514-566)
+    + std over a feature subset; caller scales to the full feature count."""
+    sub = features[:, :n_probe]
+    t0 = time.time()
+    for j in range(sub.shape[1]):
+        col = sub[:, j]
+        counts, _ = np.histogram(col, bins=100)
+        p = counts / max(len(col), 1)
+        p = p[p > 0]
+        _ = -np.sum(p * np.log2(p))
+    _ = np.std(sub, axis=0)
+    return time.time() - t0
+
+
+def ref_torch_epoch_seconds(features: np.ndarray, lag, batch_size, n_batches):
+    """One deep-TICA epoch in torch on CPU — the reference's training stack
+    (mlcolvar/Lightning are torch CPU underneath; same math, no framework
+    overhead: a lower bound)."""
     import torch
 
-    x = torch.from_numpy(np.array(features, np.float32))
+    x = torch.from_numpy(np.ascontiguousarray(features, dtype=np.float32))
     mu, sd = x.mean(0), x.std(0) + 1e-8
     x = (x - mu) / sd
     xt, xl = x[:-lag], x[lag:]
@@ -79,359 +216,268 @@ def _torch_epoch_seconds(features, lag, batch_size, n_batches):
     return time.time() - t0
 
 
-
-def _sync(x):
-    """Force completion: pull one scalar to the host. jax.block_until_ready
-    does not actually synchronize on tunneled backends (measured), so every
-    timing below ends with a 4-byte host read instead."""
-    import jax.numpy as jnp
-
-    leaf = x
-    while isinstance(leaf, (list, tuple)):
-        leaf = leaf[-1]
-    if isinstance(leaf, dict):
-        leaf = next(iter(leaf.values()))
-        while isinstance(leaf, (list, tuple)):
-            leaf = leaf[-1]
-    return float(jnp.ravel(jnp.asarray(leaf))[0])
-
+# ---------------------------------------------------------------------------
+# Main
+# ---------------------------------------------------------------------------
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    import optax
 
-    from deep_cartograph_tpu.cv.tica_math import generalized_eigh
+    from deep_cartograph_tpu.cv.deep import make_deep_tica_loss
+    from deep_cartograph_tpu.features.grammar import compile_plan
+    from deep_cartograph_tpu.geom.kernels import PlanEvaluator
+    from deep_cartograph_tpu.io.dcd import iter_dcd_chunks_prefetch, write_dcd
+    from deep_cartograph_tpu.io.topology import Topology
     from deep_cartograph_tpu.models.networks import DeepTICANet
+    from deep_cartograph_tpu.models.training import Trainer, TrainerConfig
+    from deep_cartograph_tpu.stats.descriptors import _entropy_all, _std_all
+    from tests.fixtures import write_ca_pdb
 
     dev = jax.devices()[0]
-    rng = np.random.default_rng(0)
+    tmpdir = tempfile.mkdtemp(prefix="bench_")
 
-    # ---- synthetic CA chain: low-frequency modes, generated on device ----
-    t = np.linspace(0, 4 * np.pi, N_ATOMS)
-    base = np.stack([2.3 * np.cos(t), 2.3 * np.sin(t), 1.5 * t], 1).astype(
-        np.float32
-    )
-    n_modes = 8
-    phases = rng.uniform(0, 2 * np.pi, n_modes).astype(np.float32)
-    freqs = rng.uniform(0.5, 3.0, n_modes).astype(np.float32)
-    mode_shapes = (rng.standard_normal((n_modes, N_ATOMS, 3)) * 0.3).astype(
-        np.float32
-    )
+    # ---- setup (untimed): trajectory on disk + compiled feature plan ----
+    coords = make_trajectory(N_FRAMES, N_ATOMS)
+    dcd_path = os.path.join(tmpdir, "traj.dcd")
+    write_dcd(dcd_path, coords)
+    pdb_path = os.path.join(tmpdir, "top.pdb")
+    write_ca_pdb(pdb_path, coords[0])
+    top = Topology.from_pdb(pdb_path)
+    labels = make_labels(N_ATOMS)
+    plan = compile_plan(labels, top)
+    n_feat = plan.n_features
+    evaluator = PlanEvaluator(plan)
+    feature_fn = evaluator.device_fn()
 
-    base_d = jnp.asarray(base)
-    phases_d = jnp.asarray(phases)
-    freqs_d = jnp.asarray(freqs)
-    shapes_d = jnp.asarray(mode_shapes)
-
-    @jax.jit
-    def gen_coords(frame_ids):
-        tt = frame_ids.astype(jnp.float32) / N_FRAMES * 2 * jnp.pi
-        waves = jnp.sin(freqs_d[None, :] * tt[:, None] + phases_d[None, :])
-        return base_d[None] + jnp.einsum("fm,mad->fad", waves, shapes_d)
-
-    # ---- feature plan: all non-neighbor CA pairwise distances ----
-    ii, jj = np.triu_indices(N_ATOMS, k=2)
-    pairs = np.stack([ii, jj], 1).astype(np.int32)
-    n_feat = pairs.shape[0]
-    # Pair selection as one-hot matmuls: at bench atom counts the (P, A)
-    # selectors are tiny, the gather becomes an MXU matmul, and the XLA
-    # program compiles orders of magnitude faster than a dynamic gather
-    # through this environment's remote-compile service.
-    sel_a = np.zeros((n_feat, N_ATOMS), np.float32)
-    sel_b = np.zeros((n_feat, N_ATOMS), np.float32)
-    sel_a[np.arange(n_feat), ii] = 1.0
-    sel_b[np.arange(n_feat), jj] = 1.0
-    sel_t = jnp.asarray((sel_a - sel_b).T)  # (A, P)
-
-    @jax.jit
-    def featurize(coords):
-        # one matmul per axis, fused square-accumulate (no (F,P,3) temp)
-        d2 = None
-        for axis in range(3):
-            t = coords[:, :, axis] @ sel_t
-            d2 = t * t if d2 is None else d2 + t * t
-        return jnp.sqrt(d2) * 0.1  # nm
-
-    @jax.jit
-    def gen_and_featurize(frame_ids):
-        return featurize(gen_coords(frame_ids))
-
-    # warmup / compile
     t0 = time.time()
-    _sync(featurize(gen_coords(jnp.arange(CHUNK))))
-    print(f"[bench] featurize compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    _sync(feature_fn(jnp.zeros((CHUNK, N_ATOMS, 3), jnp.float32)))
+    _log(f"featurize compile {time.time() - t0:.1f}s ({n_feat} features)")
 
-    # Host-side coordinates (the production input: frames decoded on host)
-    n_chunks = (N_FRAMES + CHUNK - 1) // CHUNK
-    n_padded = n_chunks * CHUNK
-    host_coords = np.asarray(
-        jnp.concatenate(
-            [gen_coords(jnp.arange(c * CHUNK, (c + 1) * CHUNK)) for c in range(n_chunks)]
-        )
-    )
+    # Filter program: entropy + std on device (features.filter's statistics,
+    # stats/descriptors kernels), quantile screen on host over tiny vectors.
+    @jax.jit
+    def stats_fn(feats):
+        return _entropy_all(feats), _std_all(feats)
 
-    # ---- featurization throughput: host->device upload + compute,
-    # features stay device-resident (the fused-pipeline production path).
-    # Best of 2 passes: tunnel/host load makes single-shot timings noisy. ----
-    t_feat = float("inf")
-    for _ in range(2):
-        t0 = time.time()
+    @jax.jit
+    def normalize_fn(feats):
+        mu = jnp.mean(feats, 0)
+        sd = jnp.std(feats, 0) + 1e-8
+        return (feats - mu) / sd
+
+    def tpu_pipeline():
+        """DCD on disk -> trained deepTICA params; returns timings."""
+        t_start = time.time()
         blocks = []
-        for c in range(n_chunks):
-            chunk = jax.device_put(host_coords[c * CHUNK : (c + 1) * CHUNK])
-            blocks.append(featurize(chunk))
+        for chunk in iter_dcd_chunks_prefetch(dcd_path, CHUNK):
+            blocks.append(feature_fn(jax.device_put(chunk)))
         features = jnp.concatenate(blocks)[:N_FRAMES]
         _sync(features)
-        t_feat = min(t_feat, time.time() - t0)
-    fps = N_FRAMES / t_feat
+        t_feat = time.time() - t_start
 
-    # Device-resident compute-only rate (coords already in HBM)
-    dev_coords = [
-        jax.device_put(host_coords[c * CHUNK : (c + 1) * CHUNK])
-        for c in range(n_chunks)
+        t0 = time.time()
+        ent, std = stats_fn(features)
+        std_h = np.asarray(std)
+        _ = np.asarray(ent)  # entropy computed & pulled like the Filter does
+        thr = np.quantile(std_h, STD_QUANTILE)
+        keep = np.where(std_h >= thr)[0].astype(np.int32)
+        filtered = jnp.take(features, jnp.asarray(keep), axis=1)
+        normed = normalize_fn(filtered)
+        x_t, x_lag = normed[:-LAG], normed[LAG:]
+        _sync(x_t)
+        t_filter = time.time() - t0
+
+        d_in = int(keep.shape[0])
+        net = DeepTICANet(
+            layers=(d_in, 64, 64, 2),
+            options={
+                "activation": ["tanh", "tanh", None],
+                "dropout": [],
+                "batchnorm": [],
+            },
+        )
+        params = net.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+            jnp.zeros((2, d_in), jnp.float32),
+            train=False,
+        )["params"]
+        loss_fn = make_deep_tica_loss(net, 1e-5, 2)
+        config = TrainerConfig(
+            batch_size=BATCH,
+            max_epochs=EPOCHS,
+            shuffle=True,
+            check_val_every_n_epoch=EPOCHS,
+            save_check_every_n_epoch=EPOCHS,
+            early_stop_patience=10 * EPOCHS,
+            optimizer_name="Adam",
+            optimizer_kwargs={"lr": 1e-3},
+            model_to_save="last",
+            device="default",
+        )
+        trainer = _TRAINERS.setdefault(d_in, Trainer(loss_fn, config))
+        train_data = {"data": x_t, "data_lag": x_lag}
+        valid_data = {
+            "data": x_t[-BATCH:],
+            "data_lag": x_lag[-BATCH:],
+        }
+        t0 = time.time()
+        result = trainer.fit(params, train_data, valid_data, seed=0)
+        final_loss = float(result.score)
+        t_train = time.time() - t0
+        total = time.time() - t_start
+        return {
+            "t_feat": t_feat,
+            "t_filter": t_filter,
+            "t_train": t_train,
+            "total": total,
+            "d_in": d_in,
+            "final_loss": final_loss,
+            "features": features,
+        }
+
+    global _TRAINERS
+    _TRAINERS = {}
+
+    t0 = time.time()
+    warm = tpu_pipeline()  # compiles filter + epoch programs
+    _log(
+        f"pipeline warm (incl. compiles) {time.time() - t0:.1f}s, "
+        f"d_in={warm['d_in']}, loss={warm['final_loss']:.4f}"
+    )
+    features_dev = warm.pop("features")
+
+    best = None
+    for _ in range(2):
+        r = tpu_pipeline()
+        r.pop("features")
+        if best is None or r["total"] < best["total"]:
+            best = r
+    _log(
+        f"tpu end-to-end {best['total']:.2f}s (feat {best['t_feat']:.2f} / "
+        f"filter {best['t_filter']:.2f} / train {best['t_train']:.2f})"
+    )
+
+    # Device-resident featurize rate (coords already in HBM) for MFU
+    dev_chunks = [
+        jax.device_put(coords[c : c + CHUNK]) for c in range(0, N_FRAMES, CHUNK)
     ]
-    _sync(dev_coords)
+    _sync(dev_chunks)
     t_dev = float("inf")
     for _ in range(2):
         t0 = time.time()
-        outs = [featurize(c) for c in dev_coords]
+        outs = [feature_fn(c) for c in dev_chunks]
         _sync(outs)
         t_dev = min(t_dev, time.time() - t0)
-    fps_device = N_FRAMES / t_dev
-    del dev_coords, outs
+    del dev_chunks, outs
 
-    # ---- CPU proxy baseline (same math, vectorized numpy, subset).
-    # Best of 3: one-shot numpy timings swing ~2x with host load. ----
-    sub = min(4000, N_FRAMES)
-    sub_coords = host_coords[:sub]
-    cpu_dt = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        pa = sub_coords[:, pairs[:, 0]]
-        pb = sub_coords[:, pairs[:, 1]]
-        d = pa - pb
-        _ = np.sqrt(np.einsum("fpc,fpc->fp", d, d)) * 0.1
-        cpu_dt = min(cpu_dt, time.time() - t0)
-    cpu_fps = sub / cpu_dt
-
-    # ---- filtering: entropy + std + compaction as ONE device program ----
-    from deep_cartograph_tpu.stats.descriptors import _entropy_all
-
-    @jax.jit
-    def filter_stats(feats):
-        ent = _entropy_all(feats)
-        std = jnp.std(feats, axis=0)
-        thr = jnp.quantile(std, 0.5)
-        # device-side compaction via sort by mask (static shape: keep half)
-        keep_idx = jnp.argsort(std < thr)[: n_feat // 2]
-        return jnp.take(feats, keep_idx, axis=1), ent, std
-
-    t0 = time.time()
-    filtered, ent, std = filter_stats(features)  # compile+run
-    _sync(filtered)
-    print(f"[bench] filter compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
-    t0 = time.time()
-    filtered, ent, std = filter_stats(features)
-    _sync(filtered)
-    t_filter = time.time() - t0
-
-    # ---- deep-TICA training (device-resident) ----
-    d_in = int(filtered.shape[1])
-    mu = jnp.mean(filtered, 0)
-    sd = jnp.std(filtered, 0) + 1e-8
-    normed = (filtered - mu) / sd
-    x_t = normed[:-LAG]
-    x_lag = normed[LAG:]
-    n_pairs = int(x_t.shape[0])
-    n_batches = n_pairs // BATCH
-
-    net = DeepTICANet(
-        layers=(d_in, 64, 64, 2),
-        options={"activation": ["tanh", "tanh", None], "dropout": [], "batchnorm": []},
-    )
-    params = net.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
-        jnp.zeros((2, d_in), jnp.float32),
-        train=False,
-    )["params"]
-    optimizer = optax.adam(1e-3)
-    opt_state = optimizer.init(params)
-
-    def loss_fn(p, bt, bl):
-        q_t = net.apply({"params": p}, bt, train=False)
-        q_lag = net.apply({"params": p}, bl, train=False)
-        m = 0.5 * (jnp.mean(q_t, 0) + jnp.mean(q_lag, 0))
-        a, b = q_t - m, q_lag - m
-        n = bt.shape[0]
-        c0 = 0.5 * (a.T @ a + b.T @ b) / n
-        ctau = 0.5 * (a.T @ b + b.T @ a) / n
-        evals, _ = generalized_eigh(ctau, c0, 1e-5)
-        return -jnp.sum(evals)
-
-    # One jitted EPOCH as a lax.scan over batch-index rows: a single device
-    # dispatch per epoch (per-step dispatch pays a tunnel round trip here).
-    # NOTE: the feature matrix is passed as an argument — a closed-over
-    # device array would be embedded as an HLO constant (hundreds of MB).
-    def _epoch(params, opt_state, xt, xl, perms):
-        def body(carry, idx):
-            p, o = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p, xt[idx], xl[idx])
-            updates, o = optimizer.update(grads, o, p)
-            return (optax.apply_updates(p, updates), o), loss
-
-        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), perms)
-        return params, opt_state, losses[-1]
-
-    epoch_fn = jax.jit(_epoch)
-
-    host_rng = np.random.default_rng(0)
-
-    def make_perms():
-        return jnp.asarray(
-            host_rng.permutation(n_pairs)[: n_batches * BATCH].reshape(
-                n_batches, BATCH
-            )
-        )
-
-    t0 = time.time()
-    params, opt_state, loss0 = epoch_fn(
-        params, opt_state, x_t, x_lag, make_perms()
-    )  # compile (sync on the loss so the scalar-pull program is warm too)
-    _sync(loss0)
-    print(f"[bench] epoch compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
-    t0 = time.time()
-    loss = None
-    for e in range(TRAIN_EPOCHS):
-        params, opt_state, loss = epoch_fn(
-            params, opt_state, x_t, x_lag, make_perms()
-        )
-    _sync(loss)
-    t_epoch = (time.time() - t0) / TRAIN_EPOCHS
-
-    # ---- CPU mirror: the identical pipeline (same jit programs, same data)
-    # compiled for the host CPU backend — the single-machine CPU baseline.
-    # Fresh jit wrappers so the CPU trace/compile cache is independent.
-    final_loss = float(loss)
+    # ---- XLA-on-host-CPU featurize mirror (same program, CPU backend) ----
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         cpu = None
+    xla_cpu_featurize_s = None
     if cpu is not None and cpu != dev:
-        # Release the accelerator-resident arrays first: their host-side
-        # mirrors otherwise pressure the single-core host and skew the CPU
-        # mirror timings.
-        del features, filtered, normed, x_t, x_lag, params, opt_state, loss
         with jax.default_device(cpu):
-            feat_cpu = jax.jit(featurize.__wrapped__)
-            cpu_chunks = [
-                jnp.asarray(host_coords[c * CHUNK : (c + 1) * CHUNK])
-                for c in range(n_chunks)
-            ]
-            _sync(feat_cpu(cpu_chunks[0]))  # compile
-            t_feat_cpu = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                outs = [feat_cpu(c) for c in cpu_chunks]
-                _sync(outs)
-                t_feat_cpu = min(t_feat_cpu, time.time() - t0)
-            features_cpu = jnp.concatenate(outs)[:N_FRAMES]
-            del outs, cpu_chunks
+            cpu_eval = PlanEvaluator(plan, device=cpu)
+            cpu_fn = cpu_eval.device_fn()
+            sub = jnp.asarray(coords[:CHUNK])
+            _sync(cpu_fn(sub))  # compile
+            t0 = time.time()
+            _sync(cpu_fn(sub))
+            xla_cpu_featurize_s = (time.time() - t0) * (N_FRAMES / CHUNK)
 
-            filter_cpu = jax.jit(filter_stats.__wrapped__)
-            r = filter_cpu(features_cpu)
-            _sync(r[0])  # compile
-            t_filter_cpu = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                filtered_cpu, _, _ = filter_cpu(features_cpu)
-                _sync(filtered_cpu)
-                t_filter_cpu = min(t_filter_cpu, time.time() - t0)
-
-            mu_c = jnp.mean(filtered_cpu, 0)
-            sd_c = jnp.std(filtered_cpu, 0) + 1e-8
-            normed_c = (filtered_cpu - mu_c) / sd_c
-            xt_c, xl_c = normed_c[:-LAG], normed_c[LAG:]
-            epoch_cpu = jax.jit(_epoch)
-            params_c = net.init(
-                {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
-                jnp.zeros((2, d_in), jnp.float32),
-                train=False,
-            )["params"]
-            opt_c = optimizer.init(params_c)
-            perms_c = jnp.asarray(
-                np.random.default_rng(0)
-                .permutation(n_pairs)[: n_batches * BATCH]
-                .reshape(n_batches, BATCH)
-            )
-            params_c, opt_c, loss_c0 = epoch_cpu(
-                params_c, opt_c, xt_c, xl_c, perms_c
-            )  # compile
-            _sync(loss_c0)
-            t_epoch_cpu = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                params_c, opt_c, loss_c = epoch_cpu(
-                    params_c, opt_c, xt_c, xl_c, perms_c
-                )
-                _sync(loss_c)
-                t_epoch_cpu = min(t_epoch_cpu, time.time() - t0)
-    else:
-        # CPU-only environment: the device numbers ARE the CPU numbers.
-        t_feat_cpu, t_filter_cpu, t_epoch_cpu = t_dev, t_filter, t_epoch
-
-    # ---- Reference-style CPU baseline: what the reference actually does on
-    # CPU — a serial per-frame featurization loop (PLUMED driver model) and
-    # torch-CPU minibatch training (mlcolvar/Lightning model, minus their
-    # framework overhead). Measured on subsets, scaled linearly.
-    ref_sub = min(2000, N_FRAMES)
-    t0 = time.time()
-    for f in range(ref_sub):
-        frame = host_coords[f]
-        d = frame[pairs[:, 0]] - frame[pairs[:, 1]]
-        _ = np.sqrt(np.einsum("pc,pc->p", d, d)) * 0.1
-    t_ref_feat = (time.time() - t0) / ref_sub * N_FRAMES
-
-    t_ref_epoch = _torch_epoch_seconds(
-        np.asarray(features_cpu) if cpu is not None else np.asarray(features),
-        LAG, BATCH, n_batches,
+    # ---- reference-style CPU pipeline (subsets, scaled) ----
+    ii, jj = np.triu_indices(N_ATOMS, k=2)
+    pairs = np.stack([ii, jj], 1)
+    quads = np.stack(
+        [np.arange(N_ATOMS - 3) + k for k in range(4)], 1
+    )
+    feat_sub = min(2000, N_FRAMES)
+    t_ref_feat = ref_serial_featurize(coords[:feat_sub], pairs, quads) * (
+        N_FRAMES / feat_sub
     )
 
-    # End-to-end device-resident pipeline time vs the reference-style CPU
-    # pipeline. The one-time host->device upload is reported separately:
-    # through this environment's tunnel it is bandwidth-bound far below what
-    # a directly-attached TPU host does over PCIe/DMA. detail also carries
-    # the much stricter same-XLA-programs-on-host-CPU mirror.
-    total = t_dev + t_filter + t_epoch * TRAIN_EPOCHS
-    total_cpu = t_feat_cpu + t_filter_cpu + t_epoch_cpu * TRAIN_EPOCHS
-    total_ref = t_ref_feat + t_filter_cpu + t_ref_epoch * TRAIN_EPOCHS
-    e2e_fps = N_FRAMES / total
+    # Host features for the CPU-side text I/O / stats / training inputs
+    host_features = np.asarray(features_dev)
+    io_sub = min(2000, N_FRAMES)
+    write_s, read_s = ref_text_io_seconds(host_features[:io_sub], tmpdir)
+    scale = N_FRAMES / io_sub
+    t_ref_write = write_s * scale
+    t_ref_read = read_s * scale
+    # The reference reads the colvars file at least twice (filter +
+    # training, SURVEY 3.4); its filter actually re-reads PER FEATURE.
+    t_ref_io = t_ref_write + 2 * t_ref_read
+    per_feature_reread_estimate = t_ref_read * n_feat
+
+    stats_probe = 100
+    t_ref_stats = ref_filter_stats_seconds(host_features, stats_probe) * (
+        n_feat / stats_probe
+    )
+
+    std_h = np.std(host_features, axis=0)
+    keep = np.where(std_h >= np.quantile(std_h, STD_QUANTILE))[0]
+    filtered_host = host_features[:, keep]
+    n_batches = (N_FRAMES - LAG) // BATCH
+    t_ref_epoch = ref_torch_epoch_seconds(filtered_host, LAG, BATCH, n_batches)
+    t_ref_train = t_ref_epoch * EPOCHS
+
+    total_ref = t_ref_feat + t_ref_io + t_ref_stats + t_ref_train
+    total_tpu = best["total"]
+
+    # ---- MFU of the selector contraction (distances dominate the FLOPs) --
+    n_dist = pairs.shape[0]
+    flops_feat = N_FRAMES * 2.0 * N_ATOMS * n_dist * 3
+    tflops = flops_feat / t_dev / 1e12
+    mfu = flops_feat / t_dev / V5E_BF16_PEAK
+
+    e2e_fps = N_FRAMES / total_tpu
     result = {
         "metric": "featurize_filter_deeptica_frames_per_sec",
         "value": round(e2e_fps, 1),
         "unit": "frames/s",
-        "vs_baseline": round(total_ref / total, 2),
+        "vs_baseline": round(total_ref / total_tpu, 2),
         "detail": {
             "device": str(dev),
             "n_frames": N_FRAMES,
             "n_features": int(n_feat),
-            "featurize_dev_s": round(t_dev, 4),
-            "device_resident_frames_per_sec": round(fps_device, 1),
-            "upload_inclusive_featurize_s": round(t_feat, 3),
-            "upload_inclusive_frames_per_sec": round(fps, 1),
-            "filter_s": round(t_filter, 4),
-            "deeptica_epoch_s": round(t_epoch, 4),
-            "total_s": round(total, 3),
-            "ref_style_cpu_featurize_s": round(t_ref_feat, 3),
-            "ref_style_torch_epoch_s": round(t_ref_epoch, 3),
-            "ref_style_cpu_total_s": round(total_ref, 3),
-            "xla_cpu_featurize_s": round(t_feat_cpu, 3),
-            "xla_cpu_filter_s": round(t_filter_cpu, 3),
-            "xla_cpu_deeptica_epoch_s": round(t_epoch_cpu, 3),
-            "xla_cpu_total_s": round(total_cpu, 3),
-            "vs_xla_cpu_mirror": round(total_cpu / total, 2),
-            "cpu_vectorized_numpy_frames_per_sec": round(cpu_fps, 1),
-            "final_loss": final_loss,
+            "n_filtered": best["d_in"],
+            "epochs": EPOCHS,
+            "tpu_total_s": round(total_tpu, 3),
+            "tpu_featurize_upload_inclusive_s": round(best["t_feat"], 3),
+            "tpu_featurize_device_resident_s": round(t_dev, 4),
+            "tpu_filter_s": round(best["t_filter"], 3),
+            "tpu_train_s": round(best["t_train"], 3),
+            "upload_inclusive_frames_per_sec": round(
+                N_FRAMES / best["t_feat"], 1
+            ),
+            "device_resident_frames_per_sec": round(N_FRAMES / t_dev, 1),
+            "selector_tflops": round(tflops, 3),
+            "mfu_vs_v5e_bf16_peak": round(mfu, 5),
+            "ref_style_cpu_total_s": round(total_ref, 2),
+            "ref_featurize_serial_s": round(t_ref_feat, 2),
+            "ref_colvars_write_s": round(t_ref_write, 2),
+            "ref_colvars_read_x2_s": round(2 * t_ref_read, 2),
+            "ref_filter_stats_s": round(t_ref_stats, 2),
+            "ref_torch_train_s": round(t_ref_train, 2),
+            "ref_filter_per_feature_reread_s_estimate": round(
+                per_feature_reread_estimate, 0
+            ),
+            "xla_cpu_featurize_s": (
+                round(xla_cpu_featurize_s, 2)
+                if xla_cpu_featurize_s is not None
+                else None
+            ),
+            "final_loss": best["final_loss"],
+            "notes": (
+                "vs_baseline is end-to-end: TPU side includes host DCD "
+                "decode + tunnel upload (~40 MB/s here; PCIe-attached hosts "
+                "are >100x faster); CPU side includes the reference's "
+                "inter-step colvars text write + 2 reads but NOT its "
+                "per-feature re-read filter design (estimate in detail). "
+                "MFU is for the distance selector contraction, f32 on MXU, "
+                "vs the bf16 peak — the op is HBM/transfer-bound by design."
+            ),
         },
     }
     print(json.dumps(result))

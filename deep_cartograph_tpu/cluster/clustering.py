@@ -84,6 +84,35 @@ def _kmeans_device(data, key, k: int, n_init: int, max_iter: int = 300):
     return centers_all[best], assigns_all[best]
 
 
+@jax.jit
+def _kmeans_warmstart(data, centers, max_iter: int = 300):
+    """Lloyd iterations from provided centroids under lax.while_loop (same
+    convergence criterion as _kmeans_device's cold-start path)."""
+    k = centers.shape[0]
+
+    def cond(state):
+        _, shift, it = state
+        return jnp.logical_and(shift > 1e-6, it < max_iter)
+
+    def step(state):
+        centers, _, it = state
+        d2 = jnp.sum((data[:, None, :] - centers[None, :, :]) ** 2, -1)
+        assign = jnp.argmin(d2, axis=1)
+        one_hot = jax.nn.one_hot(assign, k, dtype=data.dtype)
+        counts = jnp.sum(one_hot, axis=0)
+        new_centers = jnp.where(
+            counts[:, None] > 0,
+            one_hot.T @ data / jnp.maximum(counts[:, None], 1),
+            centers,
+        )
+        shift = jnp.max(jnp.sum((new_centers - centers) ** 2, -1))
+        return new_centers, shift, it + 1
+
+    centers, _, _ = jax.lax.while_loop(cond, step, (centers, jnp.inf, 0))
+    d2 = jnp.sum((data[:, None, :] - centers[None, :, :]) ** 2, -1)
+    return centers, jnp.argmin(d2, axis=1)
+
+
 def kmeans_clustering(
     feature_matrix: np.ndarray,
     num_clusters: int,
@@ -94,26 +123,11 @@ def kmeans_clustering(
     """Device KMeans (cf. reference statistics.py:159-197)."""
     data = jnp.asarray(feature_matrix, jnp.float32)
     if initial_centroids is not None:
-        # Single Lloyd run from the provided centroids
-        num_clusters = initial_centroids.shape[0]
+        # Single Lloyd run from the provided centroids: lax.while_loop with
+        # the same convergence criterion as the cold-start path (a bounded
+        # program, not 300 unrolled iterations).
         centers = jnp.asarray(initial_centroids, jnp.float32)
-
-        @jax.jit
-        def run(data, centers):
-            for _ in range(300):
-                d2 = jnp.sum((data[:, None, :] - centers[None, :, :]) ** 2, -1)
-                assign = jnp.argmin(d2, axis=1)
-                one_hot = jax.nn.one_hot(assign, num_clusters, dtype=data.dtype)
-                counts = jnp.sum(one_hot, axis=0)
-                centers = jnp.where(
-                    counts[:, None] > 0,
-                    one_hot.T @ data / jnp.maximum(counts[:, None], 1),
-                    centers,
-                )
-            d2 = jnp.sum((data[:, None, :] - centers[None, :, :]) ** 2, -1)
-            return centers, jnp.argmin(d2, axis=1)
-
-        centers, assign = run(data, centers)
+        centers, assign = _kmeans_warmstart(data, centers)
         return np.asarray(assign), np.asarray(centers)
 
     centers, assign = _kmeans_device(
@@ -126,9 +140,16 @@ def kmeans_clustering(
 # Validity scores on device
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("k",))
-def _scores_device(data, labels, k: int):
-    """(calinski_harabasz, davies_bouldin, silhouette) in one pass."""
+@partial(jax.jit, static_argnames=("k", "block"))
+def _scores_device(data, labels, k: int, block: int):
+    """(calinski_harabasz, davies_bouldin, silhouette) in one pass.
+
+    The silhouette's pairwise distances are computed in ROW BLOCKS of
+    `block` samples (a lax.scan over (block, n) distance tiles reduced
+    straight into (block, k) per-cluster sums) — peak memory is
+    O(block * n), never the (n, n) matrix, so scoring survives
+    BASELINE-scale sample counts (100k samples: 40 GB -> ~256 MB tiles).
+    """
     n, d = data.shape
     one_hot = jax.nn.one_hot(labels, k, dtype=data.dtype)  # (n, k)
     counts = jnp.sum(one_hot, axis=0)                      # (k,)
@@ -156,10 +177,23 @@ def _scores_device(data, labels, k: int):
     ratio = jnp.where(jnp.eye(k, dtype=bool), -jnp.inf, ratio)
     db = jnp.mean(jnp.max(ratio, axis=1))
 
-    # Silhouette: mean intra/inter distances via (n, k) distance sums
-    pd2 = jnp.sum((data[:, None, :] - data[None, :, :]) ** 2, -1)
-    pdist = jnp.sqrt(jnp.maximum(pd2, 0.0))
-    sums_to_clusters = pdist @ one_hot  # (n, k)
+    # Silhouette: per-cluster distance sums accumulated block-by-block
+    n_blocks = (n + block - 1) // block
+    pad = n_blocks * block - n
+    data_p = jnp.pad(data, ((0, pad), (0, 0)))
+    sq = jnp.sum(data**2, axis=1)          # (n,)
+    sq_p = jnp.pad(sq, (0, pad))
+    row_blocks = data_p.reshape(n_blocks, block, d)
+    sq_blocks = sq_p.reshape(n_blocks, block)
+
+    def body(_, blk):
+        rows, row_sq = blk
+        d2 = row_sq[:, None] - 2.0 * rows @ data.T + sq[None, :]
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0))      # (block, n)
+        return None, dist @ one_hot                # (block, k)
+
+    _, sums = jax.lax.scan(body, None, (row_blocks, sq_blocks))
+    sums_to_clusters = sums.reshape(n_blocks * block, k)[:n]
     own = labels
     a = sums_to_clusters[jnp.arange(n), own] / jnp.maximum(counts[own] - 1, 1)
     mean_other = sums_to_clusters / safe_counts[None, :]
@@ -177,8 +211,11 @@ def clustering_scores(
     data: np.ndarray, labels: np.ndarray
 ) -> Tuple[float, float, float]:
     k = int(labels.max()) + 1
+    n = int(np.asarray(data).shape[0])
+    # ~64M f32 (256 MB) per distance tile; whole matrix for small n
+    block = int(min(n, max(128, (1 << 26) // max(n, 1))))
     ch, db, sil = _scores_device(
-        jnp.asarray(data, jnp.float32), jnp.asarray(labels), k
+        jnp.asarray(data, jnp.float32), jnp.asarray(labels), k, block
     )
     return float(ch), float(db), float(sil)
 

@@ -69,6 +69,9 @@ class NonLinear(CVCalculator):
         self.check_val_every_n_epoch: int = self.general_config.get(
             "check_val_every_n_epoch", 1
         )
+        self.save_check_every_n_epoch: int = self.general_config.get(
+            "save_check_every_n_epoch", 1
+        )
         self.early_stop_patience: int = self.early_stopping_config.get("patience", 20)
         self.early_stop_delta: float = self.early_stopping_config.get(
             "min_delta", 1e-5
@@ -210,6 +213,7 @@ class NonLinear(CVCalculator):
             max_epochs=self.max_epochs,
             shuffle=self.shuffle,
             check_val_every_n_epoch=self.check_val_every_n_epoch,
+            save_check_every_n_epoch=self.save_check_every_n_epoch,
             early_stop_patience=self.early_stop_patience,
             early_stop_min_delta=self.early_stop_delta,
             optimizer_name=self.optimizer_config.get("name", "Adam"),
@@ -245,6 +249,9 @@ class NonLinear(CVCalculator):
         best_global = float("inf")
         best: Optional[TrainResult] = None
         best_params_init = None
+        # One Trainer for all tries: its compilation cache makes retries
+        # reuse the jitted epoch program instead of recompiling per seed.
+        trainer = Trainer(self.loss_fn, config)
 
         for try_num in range(1, self.num_tries + 1):
             seed = self.seed + try_num
@@ -255,7 +262,6 @@ class NonLinear(CVCalculator):
                     train_data, valid_data = self._split(dataset, seed)
                 rng = jax.random.PRNGKey(seed)
                 params = self.init_params(rng, train_data)
-                trainer = Trainer(self.loss_fn, config)
                 result = trainer.fit(params, train_data, valid_data, seed)
                 self._save_try_checkpoint(result, try_num)
                 if not self._validate_result(result):
@@ -798,6 +804,41 @@ class VAECalculator(NonLinear):
                 )
 
 
+def deep_tica_batch_eigvals(module, params, batch, rng, reg):
+    """Weighted batch TICA eigenvalues of the network outputs — the DeepTICA
+    training objective's core (cf. reference cv_calculator.py:2507-2627).
+    Module-level so benchmarks and external callers drive the exact shipped
+    loss math."""
+    q_t = module.apply(
+        {"params": params}, batch["data"], train=True, rngs={"dropout": rng}
+    )
+    q_lag = module.apply(
+        {"params": params}, batch["data_lag"], train=True, rngs={"dropout": rng}
+    )
+    w = batch["weight"][:, None]
+    wsum = jnp.maximum(jnp.sum(batch["weight"]), 1e-12)
+    # mlcolvar TICA estimator: mean and C0 from q_t only, Ctau symmetrized
+    # (cf. cv/tica_math.timelagged_covariances).
+    mu = jnp.sum(q_t * w, axis=0) / wsum
+    a = (q_t - mu) * w
+    b = (q_lag - mu) * w
+    c0 = a.T @ (q_t - mu) / wsum
+    ctau = 0.5 * (a.T @ (q_lag - mu) + b.T @ (q_t - mu)) / wsum
+    evals, _ = generalized_eigh(ctau, c0, reg)
+    return evals
+
+
+def make_deep_tica_loss(module, reg: float, dim: int):
+    """Trainer-compatible DeepTICA loss over `module` (−Σ eigenvalues)."""
+
+    def loss_fn(params, batch, rng, beta):
+        evals = deep_tica_batch_eigvals(module, params, batch, rng, reg)
+        aux = {f"eigval_{i + 1}": evals[i] for i in range(dim)}
+        return -jnp.sum(evals), aux
+
+    return loss_fn
+
+
 class DeepTICACalculator(NonLinear):
     """DeepTICA CV (cf. reference cv_calculator.py:2507-2627)."""
 
@@ -889,23 +930,9 @@ class DeepTICACalculator(NonLinear):
         }
 
     def _batch_eigvals(self, params, batch, rng):
-        q_t = self.module.apply(
-            {"params": params}, batch["data"], train=True, rngs={"dropout": rng}
+        return deep_tica_batch_eigvals(
+            self.module, params, batch, rng, self.tica_reg
         )
-        q_lag = self.module.apply(
-            {"params": params}, batch["data_lag"], train=True, rngs={"dropout": rng}
-        )
-        w = batch["weight"][:, None]
-        wsum = jnp.maximum(jnp.sum(batch["weight"]), 1e-12)
-        # mlcolvar TICA estimator: mean and C0 from q_t only, Ctau symmetrized
-        # (cf. cv/tica_math.timelagged_covariances).
-        mu = jnp.sum(q_t * w, axis=0) / wsum
-        a = (q_t - mu) * w
-        b = (q_lag - mu) * w
-        c0 = a.T @ (q_t - mu) / wsum
-        ctau = 0.5 * (a.T @ (q_lag - mu) + b.T @ (q_t - mu)) / wsum
-        evals, _ = generalized_eigh(ctau, c0, self.tica_reg)
-        return evals
 
     def loss_fn(self, params, batch, rng, beta):
         evals = self._batch_eigvals(params, batch, rng)

@@ -193,6 +193,87 @@ class Featurizer:
         return result
 
 
+    def featurize_trajectories(
+        self,
+        trajectory_paths: List[str],
+        traj_stride: int = 1,
+        frame_chunk: int = 2048,
+        timeout: Optional[float] = None,
+    ) -> List[np.ndarray]:
+        """Stream N same-topology trajectories through SHARED fixed-shape
+        chunks: a chunk may span a trajectory seam, so the whole batch runs
+        through one compiled XLA program with at most one padded chunk total
+        (the reference loops serially per trajectory,
+        compute_features.py:152). Returns one (n_frames_i, n_features)
+        matrix per trajectory."""
+        chunk = auto_chunk_size(
+            frame_chunk, self.topology.n_atoms, self.plan.n_features
+        )
+        # Device policy from the combined workload of the whole batch
+        total_bytes = sum(os.path.getsize(p) for p in trajectory_paths)
+        est_frames = total_bytes / max(
+            4 * self.topology.n_atoms * max(traj_stride, 1), 1
+        )
+        device = None
+        if self.device_policy == "cpu":
+            device = self._host_cpu_device()
+        elif self.device_policy == "auto":
+            work = est_frames * self.topology.n_atoms * max(
+                self.plan.n_features, 1
+            )
+            if work < self._AUTO_CPU_WORK_THRESHOLD:
+                device = self._host_cpu_device()
+        evaluator = self._get_evaluator(device)
+
+        buf = np.empty((chunk, self.topology.n_atoms, 3), np.float32)
+        fill = 0
+        outputs: List[Tuple] = []
+        lengths: List[int] = []
+        t0 = time.time()
+        for path in trajectory_paths:
+            count = 0
+            for block in iter_frame_chunks(
+                path, chunk, self.topology.source_path, stride=traj_stride
+            ):
+                if timeout is not None and time.time() - t0 > timeout:
+                    raise TimeoutError(
+                        f"Featurization exceeded the configured timeout of "
+                        f"{timeout} s."
+                    )
+                count += block.shape[0]
+                pos = 0
+                while pos < block.shape[0]:
+                    take = min(chunk - fill, block.shape[0] - pos)
+                    buf[fill : fill + take] = block[pos : pos + take]
+                    fill += take
+                    pos += take
+                    if fill == chunk:
+                        outputs.append((evaluator.eval_raw(buf.copy()), chunk))
+                        fill = 0
+            lengths.append(count)
+        if fill:
+            buf[fill:] = buf[fill - 1 : fill]
+            outputs.append((evaluator.eval_raw(buf.copy()), fill))
+        flat = np.concatenate(
+            [np.asarray(out)[:n] for out, n in outputs], axis=0
+        ) if outputs else np.zeros((0, self.plan.n_features), np.float32)
+        results = []
+        offset = 0
+        for n in lengths:
+            results.append(flat[offset : offset + n])
+            offset += n
+        dt = time.time() - t0
+        logger.info(
+            "Featurized %d trajectories (%d frames x %d features) in %.2fs "
+            "through shared chunks (%.0f frames/s)",
+            len(trajectory_paths),
+            offset,
+            self.plan.n_features,
+            dt,
+            offset / max(dt, 1e-9),
+        )
+        return results
+
     def featurize_frames_sharded(self, coords: np.ndarray, mesh=None):
         """Featurize a frame batch with the frame axis sharded over the mesh.
 

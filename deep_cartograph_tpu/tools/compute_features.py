@@ -118,6 +118,12 @@ def compute_features(
     ref_plumed_topology = os.path.join(output_folder, "ref_topology.pdb")
     create_pdb(reference_topology, ref_plumed_topology)
 
+    # Phase 1 (host): per-trajectory prep — topology PDBs, feature
+    # translation, PLUMED provenance inputs — and job collection.
+    # Phase 2 (device): same-topology trajectories are BATCHED through one
+    # Featurizer in shared chunks (one XLA program for the whole group;
+    # the reference loops serially per trajectory, compute_features.py:152).
+    jobs: Dict = {}  # cache_key -> (featurizer_args, [(traj, colvars, feats)])
     for topology_path, trajectory_path, colvars_path in zip(
         topologies, trajectories, colvars_paths
     ):
@@ -142,12 +148,6 @@ def compute_features(
                 f"topology {Path(topology_path).stem}."
             )
 
-        logger.info(
-            "Computing features for %s with topology %s...",
-            traj_name,
-            Path(topology_path).stem,
-        )
-
         # Coordinate features require rigid alignment to a template
         need_fit = any(f.startswith("coord") for f in features_list)
         fit_template_path = None
@@ -168,33 +168,46 @@ def compute_features(
             fit_template_path=fit_template_path,
         ).build(colvars_path)
 
-        # --- the TPU compute path ---
-        # One Featurizer per distinct (topology, feature list): trajectories
-        # sharing a topology reuse the compiled plan instead of re-tracing.
-        topology = Topology.from_file(plumed_topology_path)
         cache_key = (Path(topology_path).resolve(), tuple(features_list))
+        entry = jobs.setdefault(
+            cache_key, ((plumed_topology_path, features_list, fit_template), [])
+        )
+        entry[1].append((trajectory_path, colvars_path))
+
+    for cache_key, ((plumed_topology_path, features_list, fit_template),
+                    group) in jobs.items():
         featurizer = _featurizer_cache.get(cache_key)
         if featurizer is None:
             featurizer = Featurizer(
-                topology,
+                Topology.from_file(plumed_topology_path),
                 features_list,
                 fit_template,
                 device=configuration["engine"].get("device", "auto"),
             )
             _featurizer_cache[cache_key] = featurizer
-        features = featurizer.featurize_trajectory(
-            trajectory_path,
+
+        group_paths = [traj for traj, _ in group]
+        logger.info(
+            "Computing features for %d trajectories sharing topology %s...",
+            len(group_paths),
+            Path(cache_key[0]).stem,
+        )
+        results = featurizer.featurize_trajectories(
+            group_paths,
             traj_stride=stride,
             frame_chunk=frame_chunk,
             timeout=configuration["plumed_settings"]["timeout"],
         )
 
-        # PLUMED-driver time convention: time(ps) = frame index (1 ps steps),
-        # strided frames keep their original index.
-        times = (np.arange(features.shape[0]) * stride).astype(np.float32)
-        data = np.column_stack([times, features])
-        write_colvars(colvars_path, data, ["time", *features_list], fmt="%.4f")
-        check(colvars_path)
+        for (trajectory_path, colvars_path), features in zip(group, results):
+            # PLUMED-driver time convention: time(ps) = frame index (1 ps
+            # steps), strided frames keep their original index.
+            times = (np.arange(features.shape[0]) * stride).astype(np.float32)
+            data = np.column_stack([times, features])
+            write_colvars(
+                colvars_path, data, ["time", *features_list], fmt="%.4f"
+            )
+            check(colvars_path)
 
     elapsed = time.time() - start_time
     logger.info(

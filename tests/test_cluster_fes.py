@@ -54,6 +54,48 @@ def test_scores_match_sklearn(blobs):
     assert abs(sil - silhouette_score(data, labels)) < 1e-3
 
 
+def test_blocked_silhouette_matches_dense(blobs):
+    """Row-blocked silhouette (bounded memory at 100k-sample scale) must
+    match sklearn even when the block size forces many tiles + padding."""
+    import jax.numpy as jnp
+
+    from deep_cartograph_tpu.cluster.clustering import _scores_device
+
+    data, labels = blobs
+    from sklearn.metrics import silhouette_score
+
+    expected = silhouette_score(data, labels)
+    for block in (7, 64, 360):  # ragged tail, mid, single tile
+        _, _, sil = _scores_device(
+            jnp.asarray(data), jnp.asarray(labels), 3, block
+        )
+        assert abs(float(sil) - expected) < 1e-3, block
+
+
+def test_kmeans_warmstart_converges(blobs):
+    """initial_centroids path: bounded while_loop program, converges to the
+    same solution as cold start (round-1 bug: 300 unrolled jit iterations)."""
+    data, true_labels = blobs
+    # perturbed true centers: Lloyd must walk them back
+    init = np.array([[1.0, 1.0], [4.0, 6.0], [-1.0, 5.0]], np.float32)
+    labels, centroids = kmeans_clustering(
+        data, 3, n_init=1, initial_centroids=init
+    )
+    assert centroids.shape == (3, 2)
+    from scipy.stats import mode
+
+    mapped = np.array(
+        [mode(true_labels[labels == c]).mode for c in range(3)]
+    )
+    assert len(set(mapped.tolist())) == 3  # three distinct blobs found
+    # converged: one extra Lloyd step does not move the centroids
+    labels2, centroids2 = kmeans_clustering(
+        data, 3, n_init=1, initial_centroids=centroids
+    )
+    np.testing.assert_allclose(centroids2, centroids, atol=1e-4)
+    assert (labels2 == labels).all()
+
+
 def test_optimize_clustering_finds_three(blobs):
     data, _ = blobs
     settings = {

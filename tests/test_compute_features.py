@@ -88,6 +88,82 @@ def test_compute_features_end_to_end(ca_system, tmp_path):
     assert again == colvars_paths
 
 
+def test_multi_trajectory_shared_chunks(ca_system, tmp_path, monkeypatch):
+    """Same-topology trajectories are featurized through SHARED fixed-shape
+    chunks: one compiled program, one packed evaluation for several small
+    trajectories (the reference loops serially, compute_features.py:152)."""
+    from deep_cartograph_tpu.geom.engine import Featurizer
+    from deep_cartograph_tpu.geom.kernels import PlanEvaluator
+    from deep_cartograph_tpu.io.dcd import write_dcd
+    from deep_cartograph_tpu.io.topology import Topology
+
+    # three 20-frame trajectories from slices of the fixture
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"traj_{i}.dcd")
+        write_dcd(p, ca_system.coords[i * 20 : (i + 1) * 20])
+        paths.append(p)
+
+    top = Topology.from_file(ca_system.pdb_path)
+    labels = ["dist-@CA_1-@CA_5", "dist-@CA_2-@CA_7",
+              "sin-@CA_1-@CA_2-@CA_3-@CA_4", "cos-@CA_1-@CA_2-@CA_3-@CA_4"]
+    featurizer = Featurizer(top, labels, device="cpu")
+
+    calls = []
+    orig = PlanEvaluator.eval_raw
+
+    def counting(self, coords_chunk):
+        calls.append(np.asarray(coords_chunk).shape[0])
+        return orig(self, coords_chunk)
+
+    monkeypatch.setattr(PlanEvaluator, "eval_raw", counting)
+    results = featurizer.featurize_trajectories(paths, frame_chunk=64)
+
+    # 3 x 20 = 60 frames packed into ONE 64-frame evaluation
+    assert len(calls) == 1 and calls[0] == 64
+    assert [r.shape[0] for r in results] == [20, 20, 20]
+    # identical values to the per-trajectory path
+    for i, r in enumerate(results):
+        expected = featurizer(ca_system.coords[i * 20 : (i + 1) * 20])
+        np.testing.assert_allclose(r, expected, atol=1e-5)
+
+
+def test_multi_trajectory_tool_output_matches_serial(ca_system, tmp_path):
+    """Tool-level: batched multi-trajectory colvars == single-trajectory
+    colvars for the same frames."""
+    from deep_cartograph_tpu.io.dcd import write_dcd
+
+    a = str(tmp_path / "part_a.dcd")
+    b = str(tmp_path / "part_b.dcd")
+    write_dcd(a, ca_system.coords[:25])
+    write_dcd(b, ca_system.coords[25:])
+
+    out_multi = str(tmp_path / "multi")
+    paths = compute_features(
+        configuration=make_config(),
+        trajectory_data=[a, b],
+        topology_data=ca_system.pdb_path,  # broadcast to both trajectories
+        output_folder=out_multi,
+    )
+    out_single = str(tmp_path / "single")
+    single = compute_features(
+        configuration=make_config(),
+        trajectory_data=[ca_system.dcd_path],
+        topology_data=[ca_system.pdb_path],
+        output_folder=out_single,
+    )
+    names = read_column_names(paths[0])
+    merged = np.concatenate(
+        [read_colvars(p).to_numpy() for p in paths], axis=0
+    )
+    ref = read_colvars(single[0]).to_numpy()
+    # same features, same values (time columns restart per trajectory)
+    feat_cols = [i for i, nm in enumerate(names) if nm != "time"]
+    np.testing.assert_allclose(
+        merged[:, feat_cols], ref[:, feat_cols], atol=1e-4
+    )
+
+
 def test_compute_features_with_stride(ca_system, tmp_path):
     out = str(tmp_path / "cf_stride")
     colvars_paths = compute_features(

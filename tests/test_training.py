@@ -36,6 +36,28 @@ def _init_params(d=4):
     return {"w": jnp.zeros((d, 1), jnp.float32)}
 
 
+def test_save_check_every_n_epoch_gates_checkpoints(rng):
+    """Checkpoint capture only on the save cadence (Lightning
+    ModelCheckpoint every_n_epochs; reference train_colvars.py:60-61)."""
+    config = TrainerConfig(
+        batch_size=32,
+        max_epochs=20,
+        check_val_every_n_epoch=1,
+        save_check_every_n_epoch=7,
+        early_stop_patience=100,
+        optimizer_name="Adam",
+        optimizer_kwargs={"lr": 0.05},
+    )
+    trainer = Trainer(_mse_loss(), config)
+    result = trainer.fit(
+        _init_params(), _toy_data(rng), _toy_data(rng, n=50), seed=0
+    )
+    # loss decreases monotonically here, so best = last eligible epoch
+    assert (result.best_epoch + 1) % 7 == 0
+    # validation itself still ran every epoch
+    assert result.metrics["epoch"] == list(range(20))
+
+
 def test_trainer_learns_and_early_stops(rng):
     config = TrainerConfig(
         batch_size=32,
