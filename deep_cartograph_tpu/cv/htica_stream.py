@@ -1,0 +1,239 @@
+"""Streaming hierarchical TICA for feature matrices too large for memory.
+
+BASELINE config 5 scale (100k frames x 50k features = 20 GB fp32) cannot
+hold the feature matrix in HBM or host RAM at once. This module runs the
+HTICA recipe (cf. cv/linear.py HTICACalculator and reference
+cv_calculator.py:2269-2384) over a BLOCK ITERATOR of frames:
+
+  pass 1: accumulate per-subspace raw moments (sums + second moments of
+          x_t / x_lag) block by block — each block contributes one batched
+          einsum over (S, block, D) on the MXU; a `lag`-frame carry forms
+          the time-lagged pairs that straddle block boundaries.
+  eigh:   per-subspace generalized eigensolves (vmapped, level 1).
+  pass 2: re-stream the blocks, project through the level-1 transform, and
+          accumulate the level-2 time-lagged covariances in the projected
+          (num_subspaces * dim) space; solve level 2.
+
+The estimator matches cv/tica_math.timelagged_covariances (mean and C0 from
+x_t only, Ctau symmetrized), so results agree with the in-memory
+HTICACalculator on data that fits (tested).
+
+Blocks may be host numpy arrays or device arrays (e.g. generated on device
+by a featurization stage); all accumulation happens on device.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_cartograph_tpu.cv.tica_math import generalized_eigh
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("n_sub", "sub_d"))
+def _accumulate_moments(state, x_t, x_lag, n_sub: int, sub_d: int):
+    """Add one block of time-lagged pairs to the per-subspace raw moments.
+
+    x_t/x_lag: (b, n_sub * sub_d). state: dict of per-subspace sums.
+    """
+    b = x_t.shape[0]
+    xt = x_t.reshape(b, n_sub, sub_d)
+    xl = x_lag.reshape(b, n_sub, sub_d)
+    return {
+        "n": state["n"] + b,
+        "s1": state["s1"] + jnp.sum(xt, axis=0),            # (S, D)
+        "s1l": state["s1l"] + jnp.sum(xl, axis=0),          # (S, D)
+        "s0": state["s0"] + jnp.einsum("bsd,bse->sde", xt, xt),
+        "st": state["st"] + 0.5 * (
+            jnp.einsum("bsd,bse->sde", xt, xl)
+            + jnp.einsum("bsd,bse->sde", xl, xt)
+        ),
+    }
+
+
+def _moments_to_covs(state):
+    """Per-subspace (C0, Ctau) from raw moments, mlcolvar estimator
+    (mean from x_t; x_lag centered with x_t's mean; Ctau symmetrized).
+
+    With a = x_t - mu, b = x_lag - mu (mu from x_t only):
+      C0   = S0/n - mu mu^T
+      Ctau = 0.5(S_tl + S_lt)/n - 0.5(mu mul^T + mul mu^T)
+    which is exactly timelagged_covariances' result, block-decomposed.
+    """
+    n = jnp.maximum(state["n"], 1)
+    mu = state["s1"] / n                                    # (S, D)
+    mul = state["s1l"] / n                                  # (S, D)
+    c0 = state["s0"] / n - jnp.einsum("sd,se->sde", mu, mu)
+    cross = 0.5 * (
+        jnp.einsum("sd,se->sde", mu, mul) + jnp.einsum("sd,se->sde", mul, mu)
+    )
+    ctau = state["st"] / n - cross
+    return c0, ctau, mu
+
+
+def _zero_state(n_sub: int, sub_d: int):
+    z = jnp.zeros((n_sub, sub_d, sub_d), jnp.float32)
+    return {
+        "n": jnp.zeros((), jnp.float32),
+        "s1": jnp.zeros((n_sub, sub_d), jnp.float32),
+        "s1l": jnp.zeros((n_sub, sub_d), jnp.float32),
+        "s0": z,
+        "st": z,
+    }
+
+
+@partial(jax.jit, static_argnames=("dim",))
+def _batched_tica(c0, ctau, reg: float, dim: int):
+    """vmapped generalized eigensolves: (S, D, D) -> (S, D, dim) leading
+    eigenvectors + (S, dim) eigenvalues (descending)."""
+
+    def solve(ct, c0_):
+        w, v = generalized_eigh(ct, c0_, reg)
+        return w[:dim], v[:, :dim]
+
+    return jax.vmap(solve)(ctau, c0)
+
+
+# Large dense eigensolves route to the host CPU: the streaming covariance
+# accumulation (the scale-critical matmul work) stays on the accelerator,
+# but an eigh at D~1000 is O(D^3)=1e9 FLOPs — milliseconds anywhere — while
+# its accelerator program is enormous to compile (measured: 237 s remote
+# compile for ONE 1000x1000 eigh through this environment's compile
+# service, and the vmapped batch crashed the worker). Same decomposition
+# PLUMED-era tools use: big streaming reductions on the fast device, small
+# dense solves on the host.
+_EIGH_HOST_DIM_THRESHOLD = 256
+
+
+def _eigh_device(dim: int):
+    from deep_cartograph_tpu.utils.device import host_cpu_device
+
+    if dim <= _EIGH_HOST_DIM_THRESHOLD:
+        return None
+    return host_cpu_device()
+
+
+def _run_batched_tica(c0, ctau, reg: float, dim: int):
+    import contextlib
+
+    dev = _eigh_device(c0.shape[-1])
+    ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+    with ctx:
+        if dev is not None:
+            c0 = jnp.asarray(np.asarray(c0))
+            ctau = jnp.asarray(np.asarray(ctau))
+        return _batched_tica(c0, ctau, reg, dim)
+
+
+class StreamingHTICA:
+    """Two-pass streaming HTICA over a restartable block iterator."""
+
+    def __init__(
+        self,
+        n_features: int,
+        num_subspaces: int,
+        subspaces_dimension: int,
+        cv_dimension: int,
+        lag_time: int,
+        reg: float = 1e-6,
+    ):
+        if n_features % num_subspaces != 0:
+            raise ValueError(
+                f"n_features ({n_features}) must divide evenly into "
+                f"{num_subspaces} subspaces for the streaming path."
+            )
+        self.n_features = n_features
+        self.n_sub = num_subspaces
+        self.sub_d = n_features // num_subspaces
+        self.sub_out = min(subspaces_dimension, self.sub_d)
+        self.cv_dim = cv_dimension
+        self.lag = lag_time
+        self.reg = reg
+        self.level1: Optional[np.ndarray] = None   # (S, D, sub_out)
+        self.weights: Optional[np.ndarray] = None  # (F, cv_dim)
+        self.eigenvalues_: Optional[np.ndarray] = None
+
+    def _stream_pairs(self, block_iter: Iterable):
+        """Yield (x_t, x_lag) device pairs with a lag-frame carry so pairs
+        straddling block boundaries are not lost."""
+        carry = None
+        for block in block_iter:
+            block = jnp.asarray(block, jnp.float32)
+            if carry is not None:
+                block = jnp.concatenate([carry, block], axis=0)
+            if block.shape[0] > self.lag:
+                yield block[: -self.lag], block[self.lag :]
+            carry = block[-self.lag :]
+
+    def fit(self, make_block_iter: Callable[[], Iterable]) -> None:
+        """make_block_iter: zero-arg callable returning a fresh iterator of
+        (block_frames, n_features) arrays (called once per pass)."""
+        # ---- pass 1: per-subspace moments -> level-1 eigenvectors ----
+        # Raw second moments in f32 cancel catastrophically when feature
+        # means dominate their variance (S0/n ~ mu^2 + tiny) — producing
+        # non-PSD C0 and NaN eigensolves at production scales. Shift-center
+        # every block by the FIRST block's mean (covariances are
+        # shift-invariant), which keeps the accumulated moments O(variance).
+        shift = None
+        state = _zero_state(self.n_sub, self.sub_d)
+        for x_t, x_lag in self._stream_pairs(make_block_iter()):
+            if shift is None:
+                shift = jnp.mean(x_t, axis=0)
+            state = _accumulate_moments(
+                state, x_t - shift, x_lag - shift, self.n_sub, self.sub_d
+            )
+        c0, ctau, _ = _moments_to_covs(state)
+        evals1, evecs1 = _run_batched_tica(c0, ctau, self.reg, self.sub_out)
+        self.level1 = np.asarray(evecs1)
+        logger.info(
+            "StreamingHTICA level 1: %d subspaces x %d -> %d dims "
+            "(top eigenvalue %.4f)",
+            self.n_sub, self.sub_d, self.sub_out, float(evals1[:, 0].max()),
+        )
+
+        # ---- pass 2: level-2 covariances in the projected space ----
+        evecs1_d = jnp.asarray(self.level1)
+        z_dim = self.n_sub * self.sub_out
+
+        @jax.jit
+        def project(x):
+            xs = x.reshape(x.shape[0], self.n_sub, self.sub_d)
+            return jnp.einsum("bsd,sdo->bso", xs, evecs1_d).reshape(
+                x.shape[0], z_dim
+            )
+
+        shift2 = None
+        state2 = _zero_state(1, z_dim)
+        for x_t, x_lag in self._stream_pairs(make_block_iter()):
+            z_t, z_lag = project(x_t), project(x_lag)
+            if shift2 is None:
+                shift2 = jnp.mean(z_t, axis=0)
+            state2 = _accumulate_moments(
+                state2, z_t - shift2, z_lag - shift2, 1, z_dim
+            )
+        c0_2, ctau_2, _ = _moments_to_covs(state2)
+        w2a, v2a = _run_batched_tica(c0_2, ctau_2, self.reg, c0_2.shape[-1])
+        w2, v2 = w2a[0], v2a[0]
+        self.eigenvalues_ = np.asarray(w2[: self.cv_dim])
+        level2 = np.asarray(v2[:, : self.cv_dim])
+
+        # W = blockdiag(level1) @ level2 without materializing the block
+        # diagonal: reshape level2 to (S, sub_out, cv_dim) and contract.
+        l2 = level2.reshape(self.n_sub, self.sub_out, self.cv_dim)
+        weights = np.einsum("sdo,soc->sdc", self.level1, l2)
+        self.weights = weights.reshape(self.n_features, self.cv_dim)
+
+    def project_blocks(self, block_iter: Iterable) -> np.ndarray:
+        """Project streamed blocks through the final weights."""
+        w = jnp.asarray(self.weights)
+        fn = jax.jit(lambda x: x @ w)
+        return np.concatenate(
+            [np.asarray(fn(jnp.asarray(b, jnp.float32))) for b in block_iter]
+        )

@@ -1,0 +1,115 @@
+"""StreamingHTICA (two-pass blocked) vs the in-memory HTICA recipe."""
+
+import numpy as np
+import pytest
+
+from deep_cartograph_tpu.cv.htica_stream import StreamingHTICA
+from deep_cartograph_tpu.cv.tica_math import (
+    create_timelagged_dataset,
+    tica,
+)
+
+
+def _reference_htica(data, n_sub, sub_out, cv_dim, lag, reg):
+    """The in-memory recipe (cv/linear.py HTICACalculator.compute_cv)."""
+    f = data.shape[1]
+    sub_d = f // n_sub
+    x_t, x_lag = create_timelagged_dataset(data, lag)
+    level1, proj_t, proj_lag = [], [], []
+    for s in range(n_sub):
+        cols = slice(s * sub_d, (s + 1) * sub_d)
+        _, evecs = tica(x_t[:, cols], x_lag[:, cols], sub_out, reg=reg)
+        level1.append(evecs)
+        proj_t.append(x_t[:, cols] @ evecs)
+        proj_lag.append(x_lag[:, cols] @ evecs)
+    z_t = np.concatenate(proj_t, 1)
+    z_lag = np.concatenate(proj_lag, 1)
+    evals, level2 = tica(z_t, z_lag, cv_dim, reg=reg)
+    blockdiag = np.zeros((f, n_sub * sub_out), np.float32)
+    for s, b in enumerate(level1):
+        blockdiag[s * sub_d : (s + 1) * sub_d, s * sub_out : (s + 1) * sub_out] = b
+    return evals, blockdiag @ level2
+
+
+@pytest.fixture(scope="module")
+def slow_fast_data():
+    rng = np.random.default_rng(3)
+    n, f = 3000, 24
+    slow = np.zeros(n)
+    for i in range(1, n):
+        slow[i] = 0.995 * slow[i - 1] + 0.1 * rng.standard_normal()
+    mix = rng.standard_normal((1, f)).astype(np.float32)
+    data = (slow[:, None] * mix + 0.5 * rng.standard_normal((n, f))).astype(
+        np.float32
+    )
+    return data
+
+
+@pytest.mark.parametrize("block", [257, 1000, 3000])
+def test_streaming_matches_in_memory(slow_fast_data, block):
+    data = slow_fast_data
+    n_sub, sub_out, cv_dim, lag, reg = 4, 2, 2, 5, 1e-6
+
+    evals_ref, w_ref = _reference_htica(data, n_sub, sub_out, cv_dim, lag, reg)
+
+    sh = StreamingHTICA(
+        n_features=data.shape[1],
+        num_subspaces=n_sub,
+        subspaces_dimension=sub_out,
+        cv_dimension=cv_dim,
+        lag_time=lag,
+        reg=reg,
+    )
+
+    def block_iter():
+        for start in range(0, data.shape[0], block):
+            yield data[start : start + block]
+
+    sh.fit(block_iter)
+
+    np.testing.assert_allclose(sh.eigenvalues_, evals_ref[:cv_dim], atol=2e-3)
+    # weights agree up to per-column sign
+    w = np.asarray(sh.weights)
+    for c in range(cv_dim):
+        agree = np.abs(w[:, c] - w_ref[:, c]).max()
+        flipped = np.abs(w[:, c] + w_ref[:, c]).max()
+        assert min(agree, flipped) < 5e-3, (c, agree, flipped)
+    # projections correlate perfectly with the reference projection
+    proj_s = sh.project_blocks(block_iter())
+    proj_r = data @ w_ref
+    for c in range(cv_dim):
+        corr = abs(np.corrcoef(proj_s[:, c], proj_r[:, c])[0, 1])
+        assert corr > 0.999
+
+
+def test_streaming_survives_large_feature_means(slow_fast_data):
+    """Features with mean >> std (real distances are O(1-10 nm) with tiny
+    fluctuations) must not NaN the f32 moment accumulation — regression for
+    the shift-centering fix (raw second moments cancel catastrophically)."""
+    data = slow_fast_data + np.float32(250.0)  # huge offset, tiny variance
+    sh = StreamingHTICA(24, 4, 2, 2, lag_time=5)
+    sh.fit(lambda: (data[i : i + 500] for i in range(0, len(data), 500)))
+    assert np.isfinite(sh.eigenvalues_).all()
+    assert np.isfinite(sh.weights).all()
+    # and still matches the in-memory recipe on the SHIFTED data
+    evals_ref, _ = _reference_htica(data, 4, 2, 2, 5, 1e-6)
+    np.testing.assert_allclose(sh.eigenvalues_, evals_ref[:2], atol=5e-3)
+
+
+def test_streaming_handles_lag_across_block_seams(slow_fast_data):
+    """Pair count must equal n - lag regardless of blocking (the carry keeps
+    cross-boundary pairs)."""
+    data = slow_fast_data[:503]
+    sh = StreamingHTICA(24, 4, 2, 2, lag_time=7)
+    pair_counts = sum(
+        int(xt.shape[0])
+        for xt, _ in sh._stream_pairs(
+            data[i : i + 50] for i in range(0, 503, 50)
+        )
+    )
+    assert pair_counts == 503 - 7
+
+
+def test_rejects_uneven_subspaces():
+    with pytest.raises(ValueError):
+        StreamingHTICA(25, 4, 2, 2, lag_time=1)
