@@ -315,7 +315,9 @@ def main() -> None:
             model_to_save="last",
             device="default",
         )
-        trainer = _TRAINERS.setdefault(d_in, Trainer(loss_fn, config))
+        # One Trainer per feature width: its compilation cache makes the
+        # timed pass reuse the warm pass's XLA executables.
+        trainer = trainers.setdefault(d_in, Trainer(loss_fn, config))
         train_data = {"data": x_t, "data_lag": x_lag}
         valid_data = {
             "data": x_t[-BATCH:],
@@ -336,8 +338,7 @@ def main() -> None:
             "features": features,
         }
 
-    global _TRAINERS
-    _TRAINERS = {}
+    trainers: dict = {}
 
     t0 = time.time()
     warm = tpu_pipeline()  # compiles filter + epoch programs
@@ -418,8 +419,9 @@ def main() -> None:
     std_h = np.std(host_features, axis=0)
     keep = np.where(std_h >= np.quantile(std_h, STD_QUANTILE))[0]
     filtered_host = host_features[:, keep]
-    n_batches = (N_FRAMES - LAG) // BATCH
-    t_ref_epoch = ref_torch_epoch_seconds(filtered_host, LAG, BATCH, n_batches)
+    batch = min(BATCH, max(N_FRAMES - LAG, 2))
+    n_batches = max((N_FRAMES - LAG) // batch, 1)
+    t_ref_epoch = ref_torch_epoch_seconds(filtered_host, LAG, batch, n_batches)
     t_ref_train = t_ref_epoch * EPOCHS
 
     total_ref = t_ref_feat + t_ref_io + t_ref_stats + t_ref_train
