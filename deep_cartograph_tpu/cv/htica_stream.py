@@ -133,7 +133,15 @@ def _run_batched_tica(c0, ctau, reg: float, dim: int):
 
 
 class StreamingHTICA:
-    """Two-pass streaming HTICA over a restartable block iterator."""
+    """Two-pass streaming HTICA over a restartable block iterator.
+
+    Pass ``mesh`` to shard the SUBSPACE axis over a device mesh: each device
+    accumulates the moments of its own subspaces (blocks arrive
+    feature-sharded, the batched moment einsum partitions along S with zero
+    communication), and only the tiny level-2 projected covariance crosses
+    devices. This is BASELINE config 5's multi-chip decomposition: the
+    feature axis is the scaling axis, frames stream.
+    """
 
     def __init__(
         self,
@@ -143,11 +151,17 @@ class StreamingHTICA:
         cv_dimension: int,
         lag_time: int,
         reg: float = 1e-6,
+        mesh=None,
     ):
         if n_features % num_subspaces != 0:
             raise ValueError(
                 f"n_features ({n_features}) must divide evenly into "
                 f"{num_subspaces} subspaces for the streaming path."
+            )
+        if lag_time < 1:
+            raise ValueError(
+                f"lag_time must be a positive integer, got {lag_time} "
+                "(same contract as tica_math.create_timelagged_dataset)."
             )
         self.n_features = n_features
         self.n_sub = num_subspaces
@@ -159,13 +173,42 @@ class StreamingHTICA:
         self.level1: Optional[np.ndarray] = None   # (S, D, sub_out)
         self.weights: Optional[np.ndarray] = None  # (F, cv_dim)
         self.eigenvalues_: Optional[np.ndarray] = None
+        self.mesh = mesh
+        self._block_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.devices.size
+            if self.n_sub % n_dev != 0:
+                raise ValueError(
+                    f"num_subspaces ({self.n_sub}) must divide evenly over "
+                    f"the {n_dev}-device mesh (contiguous feature shards "
+                    f"must align with subspace boundaries)."
+                )
+            # Shard the feature axis; contiguous shards hold whole subspaces,
+            # so the batched (S, D, D) moment einsums partition along S with
+            # no communication.
+            self._block_sharding = NamedSharding(
+                mesh, P(None, mesh.axis_names[0])
+            )
 
     def _stream_pairs(self, block_iter: Iterable):
         """Yield (x_t, x_lag) device pairs with a lag-frame carry so pairs
         straddling block boundaries are not lost."""
         carry = None
         for block in block_iter:
-            block = jnp.asarray(block, jnp.float32)
+            if self._block_sharding is not None:
+                # device_put the host array straight into the sharding —
+                # jnp.asarray first would commit the whole block to one
+                # device before resharding (a full extra transfer per block
+                # at config-5 scale).
+                if isinstance(block, np.ndarray):
+                    block = np.ascontiguousarray(block, np.float32)
+                else:
+                    block = jnp.asarray(block, jnp.float32)
+                block = jax.device_put(block, self._block_sharding)
+            else:
+                block = jnp.asarray(block, jnp.float32)
             if carry is not None:
                 block = jnp.concatenate([carry, block], axis=0)
             if block.shape[0] > self.lag:
@@ -232,8 +275,16 @@ class StreamingHTICA:
 
     def project_blocks(self, block_iter: Iterable) -> np.ndarray:
         """Project streamed blocks through the final weights."""
-        w = jnp.asarray(self.weights)
-        fn = jax.jit(lambda x: x @ w)
+        # Cache the jitted projection across calls (jit caches on function
+        # identity; a fresh lambda per call would recompile every time —
+        # minutes through a remote-compile service).
+        if getattr(self, "_proj_fn", None) is None or (
+            self._proj_weights_id != id(self.weights)
+        ):
+            w = jnp.asarray(self.weights)
+            self._proj_fn = jax.jit(lambda x: x @ w)
+            self._proj_weights_id = id(self.weights)
+        fn = self._proj_fn
         return np.concatenate(
             [np.asarray(fn(jnp.asarray(b, jnp.float32))) for b in block_iter]
         )

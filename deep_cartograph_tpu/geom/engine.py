@@ -107,6 +107,13 @@ class Featurizer:
     _AUTO_CPU_WORK_THRESHOLD = 5e8
 
     def _pick_device(self, trajectory_path: str, traj_stride: int):
+        return self._pick_device_for_bytes(
+            os.path.getsize(trajectory_path), traj_stride
+        )
+
+    def _pick_device_for_bytes(self, total_bytes: float, traj_stride: int):
+        """Device policy from a workload size in trajectory-file bytes
+        (one trajectory or a whole same-topology group)."""
         if self.device_policy == "cpu":
             return self._host_cpu_device()
         if self.device_policy != "auto":
@@ -116,7 +123,7 @@ class Featurizer:
             return None
         # File size bounds the frame count for every supported format
         # (>= ~4 bytes per atom per frame), cheap and header-free.
-        est_frames = os.path.getsize(trajectory_path) / max(
+        est_frames = total_bytes / max(
             4 * self.topology.n_atoms * max(traj_stride, 1), 1
         )
         work = est_frames * self.topology.n_atoms * max(self.plan.n_features, 1)
@@ -200,79 +207,136 @@ class Featurizer:
         frame_chunk: int = 2048,
         timeout: Optional[float] = None,
     ) -> List[np.ndarray]:
+        """Batch form of iter_featurize_trajectories (original order)."""
+        return [
+            feats
+            for _, feats in self.iter_featurize_trajectories(
+                trajectory_paths, traj_stride, frame_chunk, timeout
+            )
+        ]
+
+    def iter_featurize_trajectories(
+        self,
+        trajectory_paths: List[str],
+        traj_stride: int = 1,
+        frame_chunk: int = 2048,
+        timeout: Optional[float] = None,
+    ):
         """Stream N same-topology trajectories through SHARED fixed-shape
-        chunks: a chunk may span a trajectory seam, so the whole batch runs
-        through one compiled XLA program with at most one padded chunk total
+        chunks — a chunk may span a trajectory seam, so the whole batch runs
+        through ONE compiled XLA program with at most one padded chunk total
         (the reference loops serially per trajectory,
-        compute_features.py:152). Returns one (n_frames_i, n_features)
-        matrix per trajectory."""
+        compute_features.py:152).
+
+        Yields (path, (n_frames_i, n_features) matrix) per trajectory AS
+        SOON as its last frame has been evaluated (delayed by at most one
+        chunk), so callers can persist each result incrementally and memory
+        stays bounded: at most `pipeline_depth` chunk outputs live on
+        device, and host buffers hold one trajectory's features plus one
+        chunk. `timeout` (seconds) applies PER TRAJECTORY, like the
+        reference's per-driver-run PLUMED timeout (cli.py:89).
+        """
+        from collections import deque
+
         chunk = auto_chunk_size(
             frame_chunk, self.topology.n_atoms, self.plan.n_features
         )
         # Device policy from the combined workload of the whole batch
-        total_bytes = sum(os.path.getsize(p) for p in trajectory_paths)
-        est_frames = total_bytes / max(
-            4 * self.topology.n_atoms * max(traj_stride, 1), 1
-        )
-        device = None
-        if self.device_policy == "cpu":
-            device = self._host_cpu_device()
-        elif self.device_policy == "auto":
-            work = est_frames * self.topology.n_atoms * max(
-                self.plan.n_features, 1
+        evaluator = self._get_evaluator(
+            self._pick_device_for_bytes(
+                sum(os.path.getsize(p) for p in trajectory_paths), traj_stride
             )
-            if work < self._AUTO_CPU_WORK_THRESHOLD:
-                device = self._host_cpu_device()
-        evaluator = self._get_evaluator(device)
+        )
+        n_feat = self.plan.n_features
+        pipeline_depth = 2
 
         buf = np.empty((chunk, self.topology.n_atoms, 3), np.float32)
         fill = 0
-        outputs: List[Tuple] = []
-        lengths: List[int] = []
-        t0 = time.time()
+        pending: deque = deque()   # (device_out, n_valid) awaiting download
+        host_parts: List[np.ndarray] = []
+        host_avail = 0             # frames currently in host_parts
+        dispatched = 0             # frames sent to the device so far
+        consumed = 0               # frames already emitted to trajectories
+        finished: deque = deque()  # (path, end_offset)
+        t_start = time.time()
+
+        def flush_oldest():
+            nonlocal host_avail
+            out, n = pending.popleft()
+            host_parts.append(np.asarray(out)[:n])
+            host_avail += n
+
+        def dispatch():
+            nonlocal fill, dispatched
+            pending.append((evaluator.eval_raw(buf.copy()), fill))
+            dispatched += fill
+            fill = 0
+            while len(pending) > pipeline_depth:
+                flush_oldest()
+
+        def take(n: int) -> np.ndarray:
+            nonlocal host_avail, consumed
+            parts: List[np.ndarray] = []
+            need = n
+            while need:
+                head = host_parts[0]
+                if head.shape[0] <= need:
+                    parts.append(host_parts.pop(0))
+                    need -= parts[-1].shape[0]
+                else:
+                    parts.append(head[:need])
+                    host_parts[0] = head[need:]
+                    need = 0
+            host_avail -= n
+            consumed += n
+            if not parts:
+                return np.zeros((0, n_feat), np.float32)
+            return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+        def ready():
+            while finished and finished[0][1] <= dispatched:
+                path, end = finished.popleft()
+                while host_avail < end - consumed:
+                    flush_oldest()
+                yield path, take(end - consumed)
+
+        offset = 0
         for path in trajectory_paths:
-            count = 0
+            t0 = time.time()
             for block in iter_frame_chunks(
                 path, chunk, self.topology.source_path, stride=traj_stride
             ):
                 if timeout is not None and time.time() - t0 > timeout:
                     raise TimeoutError(
-                        f"Featurization exceeded the configured timeout of "
-                        f"{timeout} s."
+                        f"Featurization of {path} exceeded the configured "
+                        f"timeout of {timeout} s."
                     )
-                count += block.shape[0]
+                offset += block.shape[0]
                 pos = 0
                 while pos < block.shape[0]:
-                    take = min(chunk - fill, block.shape[0] - pos)
-                    buf[fill : fill + take] = block[pos : pos + take]
-                    fill += take
-                    pos += take
+                    n = min(chunk - fill, block.shape[0] - pos)
+                    buf[fill : fill + n] = block[pos : pos + n]
+                    fill += n
+                    pos += n
                     if fill == chunk:
-                        outputs.append((evaluator.eval_raw(buf.copy()), chunk))
-                        fill = 0
-            lengths.append(count)
+                        dispatch()
+            finished.append((path, offset))
+            yield from ready()
         if fill:
             buf[fill:] = buf[fill - 1 : fill]
-            outputs.append((evaluator.eval_raw(buf.copy()), fill))
-        flat = np.concatenate(
-            [np.asarray(out)[:n] for out, n in outputs], axis=0
-        ) if outputs else np.zeros((0, self.plan.n_features), np.float32)
-        results = []
-        offset = 0
-        for n in lengths:
-            results.append(flat[offset : offset + n])
-            offset += n
-        dt = time.time() - t0
+            dispatch()
+        yield from ready()
+        assert not finished, "trajectory frames unaccounted for"
+        dt = time.time() - t_start
         logger.info(
             "Featurized %d trajectories (%d frames x %d features) in %.2fs "
             "through shared chunks (%.0f frames/s)",
             len(trajectory_paths),
             offset,
-            self.plan.n_features,
+            n_feat,
             dt,
             offset / max(dt, 1e-9),
         )
-        return results
 
     def featurize_frames_sharded(self, coords: np.ndarray, mesh=None):
         """Featurize a frame batch with the frame axis sharded over the mesh.

@@ -425,6 +425,7 @@ class Trainer:
         es_best = math.inf
         best_params = params
         best_epoch = -1
+        misaligned_warned = False
         post_best_score = math.inf
         post_best_params = None
         post_best_epoch = -1
@@ -483,9 +484,27 @@ class Trainer:
                     bad_checks = 0
                 else:
                     bad_checks += 1
-                save_eligible = (
-                    (epoch + 1) % max(cfg.save_check_every_n_epoch, 1) == 0
-                )
+                save_every = max(cfg.save_check_every_n_epoch, 1)
+                save_eligible = (epoch + 1) % save_every == 0
+                if (
+                    math.lcm(save_every, max(cfg.check_val_every_n_epoch, 1))
+                    > cfg.max_epochs
+                ):
+                    # Validation epochs never (within max_epochs) land on
+                    # the save grid — no checkpoint would ever be captured
+                    # and 'best' would silently degrade to last-epoch
+                    # params. Fall back to every validation, with a warning.
+                    if not misaligned_warned:
+                        logger.warning(
+                            "save_check_every_n_epoch=%d never aligns with "
+                            "check_val_every_n_epoch=%d within %d epochs; "
+                            "checkpointing at every validation instead.",
+                            cfg.save_check_every_n_epoch,
+                            cfg.check_val_every_n_epoch,
+                            cfg.max_epochs,
+                        )
+                        misaligned_warned = True
+                    save_eligible = True
                 if save_eligible and valid_loss < best_score:
                     best_score = valid_loss
                     best_params = jax.tree.map(lambda a: a, params)

@@ -187,23 +187,26 @@ def compute_features(
             _featurizer_cache[cache_key] = featurizer
 
         group_paths = [traj for traj, _ in group]
+        colvars_by_traj = {traj: cv for traj, cv in group}
         logger.info(
             "Computing features for %d trajectories sharing topology %s...",
             len(group_paths),
             Path(cache_key[0]).stem,
         )
-        results = featurizer.featurize_trajectories(
+        # Incremental iterator: each trajectory's colvars file is written as
+        # soon as its frames finish, so a mid-group failure preserves the
+        # completed trajectories (the restart check skips them next run).
+        for trajectory_path, features in featurizer.iter_featurize_trajectories(
             group_paths,
             traj_stride=stride,
             frame_chunk=frame_chunk,
             timeout=configuration["plumed_settings"]["timeout"],
-        )
-
-        for (trajectory_path, colvars_path), features in zip(group, results):
+        ):
             # PLUMED-driver time convention: time(ps) = frame index (1 ps
             # steps), strided frames keep their original index.
             times = (np.arange(features.shape[0]) * stride).astype(np.float32)
             data = np.column_stack([times, features])
+            colvars_path = colvars_by_traj[trajectory_path]
             write_colvars(
                 colvars_path, data, ["time", *features_list], fmt="%.4f"
             )

@@ -113,3 +113,30 @@ def test_streaming_handles_lag_across_block_seams(slow_fast_data):
 def test_rejects_uneven_subspaces():
     with pytest.raises(ValueError):
         StreamingHTICA(25, 4, 2, 2, lag_time=1)
+
+
+def test_subspace_sharded_over_mesh_matches(slow_fast_data):
+    """mesh= shards the subspace axis over the 8 virtual devices; results
+    must match the single-device streaming run."""
+    from deep_cartograph_tpu.parallel.mesh import get_mesh
+
+    data = slow_fast_data  # 24 features -> 8 subspaces of 3
+    mesh = get_mesh()
+    args = dict(
+        n_features=24, num_subspaces=8, subspaces_dimension=2,
+        cv_dimension=2, lag_time=5,
+    )
+    make_iter = lambda: (data[i : i + 500] for i in range(0, len(data), 500))
+
+    single = StreamingHTICA(**args)
+    single.fit(make_iter)
+    sharded = StreamingHTICA(**args, mesh=mesh)
+    sharded.fit(make_iter)
+
+    np.testing.assert_allclose(
+        sharded.eigenvalues_, single.eigenvalues_, atol=1e-4
+    )
+    np.testing.assert_allclose(sharded.weights, single.weights, atol=1e-3)
+
+    with pytest.raises(ValueError):  # 6 subspaces don't divide over 8 devices
+        StreamingHTICA(24, 6, 2, 2, lag_time=5, mesh=mesh)

@@ -58,6 +58,59 @@ def test_save_check_every_n_epoch_gates_checkpoints(rng):
     assert result.metrics["epoch"] == list(range(20))
 
 
+def test_misaligned_save_cadence_falls_back_to_validations(rng):
+    """check_val=7, save=10 never align within 20 epochs; the Trainer must
+    still capture a best checkpoint (at a validation) instead of silently
+    returning last-epoch params."""
+    config = TrainerConfig(
+        batch_size=32,
+        max_epochs=20,
+        check_val_every_n_epoch=7,
+        save_check_every_n_epoch=10,
+        early_stop_patience=100,
+        optimizer_name="Adam",
+        optimizer_kwargs={"lr": 0.05},
+    )
+    trainer = Trainer(_mse_loss(), config)
+    result = trainer.fit(
+        _init_params(), _toy_data(rng), _toy_data(rng, n=50), seed=0
+    )
+    assert result.best_epoch >= 0
+    assert result.description == "best overall"
+    # captured at a validation epoch (multiples of 7)
+    assert (result.best_epoch + 1) % 7 == 0
+
+
+def test_iter_featurize_yields_per_trajectory(ca_system, tmp_path):
+    """iter_featurize_trajectories emits (path, features) in order, with
+    chunks spanning trajectory seams, matching the direct evaluation."""
+    from deep_cartograph_tpu.geom.engine import Featurizer
+    from deep_cartograph_tpu.io.dcd import write_dcd
+    from deep_cartograph_tpu.io.topology import Topology
+
+    sizes = [25, 7, 28]
+    paths, start = [], 0
+    for i, n in enumerate(sizes):
+        p = str(tmp_path / f"seg{i}.dcd")
+        write_dcd(p, ca_system.coords[start : start + n])
+        paths.append(p)
+        start += n
+
+    top = Topology.from_file(ca_system.pdb_path)
+    labels = ["dist-@CA_1-@CA_5", "dist-@CA_2-@CA_7"]
+    featurizer = Featurizer(top, labels, device="cpu")
+    got = list(
+        featurizer.iter_featurize_trajectories(paths, frame_chunk=16)
+    )
+    assert [p for p, _ in got] == paths
+    start = 0
+    for (_, feats), n in zip(got, sizes):
+        assert feats.shape == (n, 2)
+        expected = featurizer(ca_system.coords[start : start + n])
+        np.testing.assert_allclose(feats, expected, atol=1e-5)
+        start += n
+
+
 def test_trainer_learns_and_early_stops(rng):
     config = TrainerConfig(
         batch_size=32,
