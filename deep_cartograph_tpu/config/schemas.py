@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Literal, Optional, Union
 
-from pydantic import BaseModel
+from pydantic import BaseModel, field_validator, model_validator
 
 
 # ---------------------------------------------------------------------------
@@ -93,11 +93,30 @@ class FilterSettings(BaseModel):
     diptest_significance_level: Optional[float] = 0.05
     entropy_quantile: Optional[float] = None
     std_quantile: Optional[float] = None
-    # Legacy keys accepted by the reference default_config.yml (booleans which
-    # gate the 0-valued quantiles); tolerated here for config compatibility.
+    # Boolean gates used throughout the reference's example/notebook configs.
+    # The reference's own schema silently drops them (its notebooks therefore
+    # run the dip test at 0.05 even with compute_diptest: False); here they
+    # are honored: False disables that filter, True enables it with its
+    # default threshold unless one is given explicitly.
     compute_diptest: Optional[bool] = None
     compute_entropy: Optional[bool] = None
     compute_std: Optional[bool] = None
+
+    @model_validator(mode="after")
+    def _apply_compute_gates(self):
+        if self.compute_diptest is False:
+            self.diptest_significance_level = None
+        elif self.compute_diptest and self.diptest_significance_level is None:
+            self.diptest_significance_level = 0.05
+        if self.compute_entropy is False:
+            self.entropy_quantile = None
+        elif self.compute_entropy and self.entropy_quantile is None:
+            self.entropy_quantile = 0.0
+        if self.compute_std is False:
+            self.std_quantile = None
+        elif self.compute_std and self.std_quantile is None:
+            self.std_quantile = 0.0
+        return self
 
 
 class SamplingSettings(BaseModel):
@@ -157,6 +176,17 @@ class NeuralNetwork(BaseModel):
     ] = None
     last_layer_batchnorm: bool = False
     last_layer_dropout: Optional[float] = None
+
+    @field_validator("activation", "batchnorm", "dropout", mode="before")
+    @classmethod
+    def _broadcast_scalar(cls, v, info):
+        """Accept a scalar and broadcast it across all hidden layers (the
+        reference's shipped example configs use `dropout: 0.1` even though
+        its schema only takes lists — accepted here for usability)."""
+        if isinstance(v, list):
+            return v
+        layers = info.data.get("layers")
+        return [v] * (len(layers) if layers else 3)
 
 
 class Architecture(BaseModel):

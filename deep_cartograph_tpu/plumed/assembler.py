@@ -56,12 +56,19 @@ class Assembler:
     # ------------------------------------------------------------------
     def build(self) -> None:
         self.input_content += "# PLUMED input file generated with Deep Cartograph TPU\n"
-        self.input_content += cmd.molinfo(os.path.abspath(self.topology_path))
+        # Referenced files are emitted as BASENAMES: every file the input
+        # needs (topology, fit template, weights) ships next to it in the
+        # exported zip, so the unzipped folder is portable to the machine
+        # that runs the MD engine. (The reference assembler.py:90 writes
+        # os.path.abspath, which breaks its own gromacs_biased_simulations
+        # example off the build host — its shipped .dat is hand-fixed to
+        # relative paths; this emits them relative from the start.)
+        self.input_content += cmd.molinfo(os.path.basename(self.topology_path))
         whole_indices = self._topology.indices_one_based()
         self.input_content += cmd.wholemolecules(whole_indices)
         if self.fit_to_template_needed:
             self.input_content += cmd.fit_to_template(
-                os.path.abspath(self.fit_template_path)
+                os.path.basename(self.fit_template_path)
             )
         self.input_content += "\n# Features\n"
         self.add_center_commands()
@@ -244,7 +251,7 @@ class CollectiveVariableAssembler(Assembler):
         p.setdefault("cv_name", "cv")
         self.input_content += "\n# Collective variable\n"
         self.input_content += cmd.pytorch_model(
-            p["cv_name"], self.features_list, os.path.abspath(p["weights_path"])
+            p["cv_name"], self.features_list, os.path.basename(p["weights_path"])
         )
         self.cv_labels = [
             f"{p['cv_name']}.node-{i}" for i in range(p["cv_dimension"])
@@ -306,7 +313,7 @@ class EnhancedSamplingAssembler(CollectiveVariableAssembler):
         rmsd_label = "rmsd_restraint"
         self.input_content += "\n# RMSD Restraint\n"
         self.input_content += cmd.rmsd(
-            rmsd_label, os.path.abspath(self.rmsd_restraint_reference_path)
+            rmsd_label, os.path.basename(self.rmsd_restraint_reference_path)
         )
         wall_label = "rmsd_restraint_wall"
         self.input_content += cmd.upper_walls(

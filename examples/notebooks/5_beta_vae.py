@@ -4,16 +4,18 @@ Port of /root/reference/examples/notebooks/5.beta-vae/validation.ipynb:
 train the VAE CV under four KL-annealing regimes and watch the balance
 between reconstruction and regularization —
 
-  Test 1: naive beta = 1 (posterior collapse: the encoder matches the prior
-          and the CV carries no information),
+  Test 1: naive beta = 1 from epoch 0 (on the reference's 1AH7 data this
+          produces full posterior collapse; on this strongly-bimodal toy
+          data the effect is graded — the latent shrinks toward the prior),
   Test 2: linear annealing 0 -> 1e-3 after a warm-up,
   Test 3: linear annealing 1e-5 -> 1e-2,
   Test 4: cyclical annealing (the beta-VAE recipe the reference lands on).
 
 The reference trains on bundled GaMD data of protein 1AH7; this port uses
 the generated bimodal-torsion peptide. For each regime the script reports
-the validation ELBO pieces and the CV1 variance of the projected
-trajectory — a collapsed posterior shows near-zero CV variance.
+the CV1 variance and the two-state separation of the projected trajectory
+(state A = first half of frames, state B = second half): a collapsing
+posterior drives both toward zero as KL pressure rises.
 
 Run: python 5_beta_vae.py    (writes ./output_beta_vae/)
 """
@@ -123,8 +125,14 @@ def run_vae(tag: str, kl_annealing: dict) -> None:
     if os.path.exists(proj):
         cv1 = pd.read_csv(proj).iloc[:, 0].to_numpy()
         var = float(np.var(cv1))
-        verdict = "POSTERIOR COLLAPSE" if var < 1e-3 else "informative CV"
-        print(f"  {tag}: CV1 variance {var:.5f} -> {verdict}")
+        half = len(cv1) // 2
+        a, b = cv1[:half], cv1[half:]
+        sep = abs(a.mean() - b.mean()) / np.sqrt(
+            0.5 * (a.var() + b.var()) + 1e-12)
+        verdict = ("POSTERIOR COLLAPSE" if sep < 0.5
+                   else "informative CV" if sep > 2 else "weak CV")
+        print(f"  {tag}: CV1 variance {var:.5f}, "
+              f"state separation {sep:.2f} sigma -> {verdict}")
     else:
         print(f"  {tag}: training did not produce a valid model")
 

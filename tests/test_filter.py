@@ -110,3 +110,32 @@ def test_filter_features_tool(rng, tmp_path, ca_system):
         output_folder=str(tmp_path / "filter_out"),
     )
     assert out2 == out
+
+
+def test_compute_gates_disable_and_enable_filters():
+    """The reference's notebook configs use compute_* booleans that its own
+    schema silently drops; ours honors them (schemas.py FilterSettings)."""
+    from deep_cartograph_tpu.config.schemas import FilterSettings
+
+    s = FilterSettings(compute_diptest=False, compute_std=True,
+                       std_quantile=0.3)
+    assert s.diptest_significance_level is None  # gate off beats the default
+    assert s.std_quantile == 0.3
+
+    s = FilterSettings(compute_entropy=True)
+    assert s.entropy_quantile == 0.0  # enabled with neutral default
+
+    s = FilterSettings()  # no gates: reference defaults preserved
+    assert s.diptest_significance_level == 0.05
+
+
+def test_architecture_scalar_broadcast():
+    """Scalar dropout/activation/batchnorm broadcast across hidden layers
+    (the reference's miscellaneous configs use `dropout: 0.1`)."""
+    from deep_cartograph_tpu.config.schemas import NeuralNetwork
+
+    nn = NeuralNetwork(layers=[32, 16], dropout=0.1, activation="tanh",
+                       batchnorm=True)
+    assert nn.dropout == [0.1, 0.1]
+    assert nn.activation == ["tanh", "tanh"]
+    assert nn.batchnorm == [True, True]
