@@ -167,3 +167,35 @@ def test_full_pipeline(ca_system, tmp_path):
         output_folder=out,
         restart=True,
     )
+
+
+@pytest.mark.slow
+def test_pipeline_survives_failed_cv(ca_system, tmp_path, monkeypatch):
+    """A CV family whose training never validates is dropped with an error;
+    the remaining CVs still get projected and clustered (the reference
+    crashes in traj_cluster on the missing projection files)."""
+    from deep_cartograph_tpu.cv import deep as deep_mod
+
+    monkeypatch.setattr(
+        deep_mod.DeepTICACalculator, "_validate_result",
+        lambda self, result: False,
+    )
+
+    config = pipeline_config()
+    config["train_colvars"]["cvs"] = ["pca", "deep_tica"]
+    config["train_colvars"]["common"]["training"]["general"]["num_tries"] = 1
+    config["train_colvars"]["common"]["training"]["general"]["max_epochs"] = 5
+    out = str(tmp_path / "pipeline_failed_cv")
+    deep_cartograph(
+        configuration=config,
+        trajectory_data=[ca_system.dcd_path],
+        topology_data=[ca_system.pdb_path],
+        output_folder=out,
+    )
+    # pca completed through clustering; deep_tica was skipped downstream
+    assert os.path.exists(
+        os.path.join(out, "train_colvars", "pca", "traj_data", "ca_example",
+                     "projected_trajectory.csv")
+    )
+    assert os.path.isdir(os.path.join(out, "traj_cluster", "pca"))
+    assert not os.path.isdir(os.path.join(out, "traj_cluster", "deep_tica"))

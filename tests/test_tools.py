@@ -222,3 +222,17 @@ def test_multi_trajectory_compute_and_filter(tmp_path):
     )
     kept = read_features_list(out)
     assert len(kept) > 5
+
+
+def test_traj_cluster_run_false_skips_validation(tmp_path):
+    """run=False must not require the CV trajectory files to exist — the
+    reference hard-exits on validation before its run gate
+    (traj_cluster_workflow.py:70-82); we gate first."""
+    from deep_cartograph_tpu.tools.traj_cluster import traj_cluster
+
+    out = traj_cluster(
+        configuration={"run": False},
+        cv_traj_paths=[str(tmp_path / "does_not_exist.csv")],
+        output_folder=str(tmp_path / "tc"),
+    )
+    assert out in (None, {})  # no crash, nothing clustered
