@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import logging
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -246,38 +246,49 @@ class NonLinear(CVCalculator):
         steps_per_epoch = int(np.ceil(n_train / self.batch_size))
         config = self._trainer_config(steps_per_epoch)
 
-        best_global = float("inf")
-        best: Optional[TrainResult] = None
-        best_params_init = None
         # One Trainer for all tries: its compilation cache makes retries
         # reuse the jitted epoch program instead of recompiling per seed.
         trainer = Trainer(self.loss_fn, config)
 
-        for try_num in range(1, self.num_tries + 1):
-            seed = self.seed + try_num
+        # All tries train simultaneously as one vmapped device program (the
+        # reference runs its num_tries Lightning fits serially,
+        # cv_calculator.py:1456-1553 — a tiny per-CV MLP cannot feed the MXU
+        # alone, so batching the tries is ~T x faster wall-clock). Falls back
+        # to the serial per-seed loop on any failure.
+        try_results: List[Tuple[int, Optional[TrainResult]]] = []
+        if self.num_tries > 1:
             try:
-                if provided_valid is not None:
-                    train_data, valid_data = dataset, provided_valid
-                else:
-                    train_data, valid_data = self._split(dataset, seed)
-                rng = jax.random.PRNGKey(seed)
-                params = self.init_params(rng, train_data)
-                result = trainer.fit(params, train_data, valid_data, seed)
-                self._save_try_checkpoint(result, try_num)
-                if not self._validate_result(result):
-                    continue
-                score = float(result.score)
-                logger.info(
-                    "Try %d/%d: score = %.5f", try_num, self.num_tries, score
+                try_results = self._run_tries_ensemble(
+                    trainer, dataset, provided_valid, n_total, n_train
                 )
-                if score < best_global:
-                    best_global = score
-                    best = result
-                    logger.info("  -> New best model (try %d).", try_num)
             except Exception as exc:
-                logger.error(
-                    "Training try %d failed with an exception: %s", try_num, exc
+                logger.warning(
+                    "Batched multi-try training failed (%s); falling back "
+                    "to serial tries.",
+                    exc,
                 )
+                try_results = []
+        if not try_results:
+            try_results = self._run_tries_serial(
+                trainer, dataset, provided_valid
+            )
+
+        best_global = float("inf")
+        best: Optional[TrainResult] = None
+        for try_num, result in try_results:
+            if result is None:
+                continue
+            self._save_try_checkpoint(result, try_num)
+            if not self._validate_result(result):
+                continue
+            score = float(result.score)
+            logger.info(
+                "Try %d/%d: score = %.5f", try_num, self.num_tries, score
+            )
+            if score < best_global:
+                best_global = score
+                best = result
+                logger.info("  -> New best model (try %d).", try_num)
 
         if best is None:
             logger.error(
@@ -296,6 +307,74 @@ class NonLinear(CVCalculator):
             "Best model score across %d tries: %.5f", self.num_tries, best_global
         )
         return True
+
+    def _run_tries_serial(
+        self, trainer: Trainer, dataset, provided_valid
+    ) -> List[Tuple[int, Optional[TrainResult]]]:
+        """One fit per seed, in sequence (the reference's loop; kept as the
+        fallback path and for num_tries == 1)."""
+        out: List[Tuple[int, Optional[TrainResult]]] = []
+        for try_num in range(1, self.num_tries + 1):
+            seed = self.seed + try_num
+            try:
+                if provided_valid is not None:
+                    train_data, valid_data = dataset, provided_valid
+                else:
+                    train_data, valid_data = self._split(dataset, seed)
+                rng = jax.random.PRNGKey(seed)
+                params = self.init_params(rng, train_data)
+                out.append(
+                    (try_num, trainer.fit(params, train_data, valid_data, seed))
+                )
+            except Exception as exc:
+                logger.error(
+                    "Training try %d failed with an exception: %s", try_num, exc
+                )
+                out.append((try_num, None))
+        return out
+
+    def _init_params_stack(self, rngs):
+        """Per-try parameters initialized under vmap (one module, T seeds)."""
+        self.module = self.build_module()
+        sample = jnp.zeros((2, self.num_features), jnp.float32)
+        return jax.vmap(
+            lambda r: self._init_variables(r, sample)["params"]
+        )(rngs)
+
+    def _run_tries_ensemble(
+        self, trainer: Trainer, dataset, provided_valid, n_total, n_train
+    ) -> List[Tuple[int, Optional[TrainResult]]]:
+        """All seeded tries as ONE vmapped program (Trainer.fit_ensemble),
+        with per-try splits/RNG streams identical to the serial path."""
+        T = self.num_tries
+        seeds = [self.seed + t for t in range(1, T + 1)]
+        if provided_valid is not None:
+            n_valid = len(next(iter(provided_valid.values())))
+            train_idx = np.tile(np.arange(n_total, dtype=np.int32), (T, 1))
+            valid_idx = np.tile(np.arange(n_valid, dtype=np.int32), (T, 1))
+            valid_data = provided_valid
+        else:
+            train_rows, valid_rows = [], []
+            for s in seeds:
+                order = (
+                    np.random.default_rng(s).permutation(n_total)
+                    if self.random_split
+                    else np.arange(n_total)
+                )
+                train_rows.append(order[:n_train])
+                valid_rows.append(order[n_train:])
+            train_idx = np.asarray(train_rows, np.int32)
+            valid_idx = np.asarray(valid_rows, np.int32)
+            valid_data = None
+        rngs = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+        params_stack = self._init_params_stack(rngs)
+        logger.info(
+            "Training %d seeded tries as one batched device program.", T
+        )
+        results = trainer.fit_ensemble(
+            params_stack, dataset, train_idx, valid_idx, seeds, valid_data
+        )
+        return list(zip(range(1, T + 1), results))
 
     def _save_try_checkpoint(self, result: TrainResult, try_num: int) -> None:
         """Persist the selected model of each try under

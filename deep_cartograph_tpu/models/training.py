@@ -551,3 +551,357 @@ class Trainer:
         return TrainResult(
             params, last_valid, metrics, cfg.max_epochs - 1, "last"
         )
+
+    # ------------------------------------------------------------------
+    # Ensemble training: all seeded tries as ONE vmapped device program
+    # ------------------------------------------------------------------
+    def _get_compiled_ensemble(self, optimizer, steps_per_epoch: int,
+                               n_valid: int):
+        """Jitted vmapped (epoch_step, eval_step) over a leading tries axis.
+
+        The reference (and our serial path) trains num_tries seeds one after
+        another (cv_calculator.py:1456-1553); on TPU the tiny per-CV MLPs
+        leave the MXU idle, so the T tries run as one batched program:
+        params/opt_state/rngs/batch-indices carry a leading T axis, the
+        dataset is passed ONCE (in_axes=None) and gathered per try with
+        GLOBAL indices (no T data copies in HBM)."""
+        key = ("ens", steps_per_epoch, n_valid)
+        if key in self._compiled_cache:
+            return self._compiled_cache[key]
+        loss_fn = self.loss_fn
+
+        def one_epoch(params, opt_state, data, gbatches, weights, rng, beta):
+            def body(carry, scan_in):
+                params, opt_state, rng = carry
+                idx, w = scan_in  # idx: (B,) GLOBAL indices into data
+                rng, sub = jax.random.split(rng)
+                batch = {k: v[idx] for k, v in data.items()}
+                batch["weight"] = w
+
+                def wrapped(p):
+                    return loss_fn(p, batch, sub, beta)
+
+                (loss, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(
+                    params
+                )
+                updates, opt_state2 = optimizer.update(grads, opt_state, params)
+                params2 = optax.apply_updates(params, updates)
+                return (params2, opt_state2, rng), (loss, aux)
+
+            (params, opt_state, rng), (losses, auxes) = jax.lax.scan(
+                body, (params, opt_state, rng), (gbatches, weights)
+            )
+            return params, opt_state, jnp.mean(losses), jax.tree.map(
+                jnp.mean, auxes
+            )
+
+        epoch_step = jax.jit(
+            jax.vmap(one_epoch, in_axes=(0, 0, None, 0, 0, 0, None))
+        )
+
+        def one_eval(params, data, vidx, rng, beta):
+            batch = {k: v[vidx] for k, v in data.items()}
+            batch["weight"] = jnp.ones(n_valid, jnp.float32)
+            return loss_fn(params, batch, rng, beta)
+
+        eval_step = jax.jit(
+            jax.vmap(one_eval, in_axes=(0, None, 0, 0, None))
+        )
+
+        self._compiled_cache[key] = (epoch_step, eval_step)
+        return epoch_step, eval_step
+
+    def fit_ensemble(
+        self,
+        params_stack,
+        full_data: Dict[str, np.ndarray],
+        train_idx: np.ndarray,  # (T, n_train) global indices
+        valid_idx: np.ndarray,  # (T, n_valid) global indices into valid_source
+        seeds: List[int],
+        valid_data: Optional[Dict[str, np.ndarray]] = None,
+    ) -> List[TrainResult]:
+        """Train all T seeded tries simultaneously (one vmapped program).
+
+        Per-try semantics match fit() exactly: identical per-seed batch
+        permutation streams (np RNG), identical per-seed jax RNG streams,
+        identical early-stopping / checkpoint-selection / plateau-LR
+        bookkeeping — just tracked per try. valid_data defaults to
+        full_data (random-split case); pass the explicit validation dict
+        for the provided-validation case.
+        """
+        import contextlib
+
+        from deep_cartograph_tpu.utils.device import host_cpu_device, maybe_cpu
+
+        cfg = self.config
+        T, n_train = train_idx.shape
+        n_valid = valid_idx.shape[1]
+        if cfg.device == "default":
+            ctx = contextlib.nullcontext()
+        elif cfg.device == "cpu":
+            cpu = host_cpu_device()
+            ctx = (
+                jax.default_device(cpu)
+                if cpu is not None
+                else contextlib.nullcontext()
+            )
+        else:
+            work = (
+                float(sum(np.asarray(v).size for v in full_data.values()))
+                * max(cfg.max_epochs, 1)
+                * T
+            )
+            ctx = maybe_cpu(work, threshold=2e9)
+        with ctx:
+            return self._fit_ensemble(
+                params_stack, full_data, train_idx, valid_idx, seeds,
+                valid_data,
+            )
+
+    def _fit_ensemble(
+        self,
+        params_stack,
+        full_data,
+        train_idx,
+        valid_idx,
+        seeds,
+        valid_data=None,
+    ) -> List[TrainResult]:
+        cfg = self.config
+        T, n_train = train_idx.shape
+        n_valid = valid_idx.shape[1]
+        steps_per_epoch = int(np.ceil(n_train / cfg.batch_size))
+
+        plateaus: Optional[List[ReduceLROnPlateau]] = None
+        if cfg.lr_scheduler and cfg.lr_scheduler.get("name", "") == "ReduceLROnPlateau":
+            kwargs = dict(cfg.lr_scheduler.get("kwargs", {}))
+            plateaus = [
+                ReduceLROnPlateau(
+                    factor=kwargs.get("factor", 0.1),
+                    patience=kwargs.get("patience", cfg.early_stop_patience // 4),
+                    cooldown=kwargs.get("cooldown", cfg.early_stop_patience // 8),
+                    min_lr=kwargs.get("min_lr", 0.0),
+                    start_epoch=kwargs.get("start_epoch", 0),
+                )
+                for _ in range(T)
+            ]
+
+        optimizer = self._get_optimizer(steps_per_epoch)
+        base_lr = cfg.optimizer_kwargs.get("lr", 1e-3)
+        opt_state = jax.vmap(optimizer.init)(params_stack)
+        params = params_stack
+
+        data_dev = {k: jnp.asarray(v) for k, v in full_data.items()}
+        valid_dev = (
+            {k: jnp.asarray(v) for k, v in valid_data.items()}
+            if valid_data is not None
+            else data_dev
+        )
+        train_idx = np.asarray(train_idx, np.int32)
+        valid_idx_dev = jnp.asarray(valid_idx, np.int32)
+
+        epoch_step, eval_step = self._get_compiled_ensemble(
+            optimizer, steps_per_epoch, n_valid
+        )
+
+        np_rngs = [np.random.default_rng(s) for s in seeds]
+        keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+
+        def split_keys(keys):
+            out = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+            return out[:, 0], out[:, 1]
+
+        def select_tree(mask_host, new, old):
+            mask = jnp.asarray(mask_host)
+            return jax.tree.map(
+                lambda n, o: jnp.where(
+                    mask.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
+                ),
+                new,
+                old,
+            )
+
+        metrics: List[Dict[str, List]] = [
+            {"epoch": [], "train_loss": [], "valid_loss": [], "lr": []}
+            for _ in range(T)
+        ]
+        if cfg.kl_annealing is not None:
+            for m in metrics:
+                m["beta"] = []
+
+        best_score = np.full(T, np.inf)
+        es_best = np.full(T, np.inf)
+        best_params = params
+        best_epoch = np.full(T, -1, np.int64)
+        post_best_score = np.full(T, np.inf)
+        post_best_params = params
+        post_has_best = np.zeros(T, bool)
+        post_best_epoch = np.full(T, -1, np.int64)
+        bad_checks = np.zeros(T, np.int64)
+        stopped = np.zeros(T, bool)
+        last_valid = np.full(T, np.inf)
+        misaligned_warned = False
+        anneal_end = (
+            cfg.kl_annealing.end_epoch if cfg.kl_annealing is not None else 0
+        )
+        final_epoch = cfg.max_epochs - 1
+
+        for epoch in range(cfg.max_epochs):
+            beta = (
+                cfg.kl_annealing.beta(epoch)
+                if cfg.kl_annealing is not None
+                else 0.0
+            )
+            gbatches = np.empty((T, steps_per_epoch, cfg.batch_size), np.int32)
+            wstack = np.empty((T, steps_per_epoch, cfg.batch_size), np.float32)
+            for t in range(T):
+                batches, weights = _make_batches(
+                    n_train, cfg.batch_size, cfg.shuffle, np_rngs[t]
+                )
+                gbatches[t] = train_idx[t][batches]
+                wstack[t] = weights
+            keys, subs = split_keys(keys)
+            params, opt_state, train_loss, _ = epoch_step(
+                params,
+                opt_state,
+                data_dev,
+                jnp.asarray(gbatches),
+                jnp.asarray(wstack),
+                subs,
+                jnp.float32(beta),
+            )
+
+            if (epoch + 1) % cfg.check_val_every_n_epoch == 0:
+                keys, subs = split_keys(keys)
+                valid_loss, valid_aux = eval_step(
+                    params, valid_dev, valid_idx_dev, subs, jnp.float32(beta)
+                )
+                valid_loss = np.asarray(valid_loss, np.float64)
+                aux_host = {k: np.asarray(v) for k, v in valid_aux.items()}
+                try:
+                    lr_arr = np.asarray(
+                        opt_state.hyperparams["learning_rate"], np.float64
+                    )
+                    lr_arr = np.broadcast_to(np.atleast_1d(lr_arr), (T,))
+                except Exception:
+                    lr_arr = np.full(T, base_lr)
+
+                active = ~stopped
+                for t in range(T):
+                    if stopped[t]:
+                        continue
+                    last_valid[t] = float(valid_loss[t])
+                    metrics[t]["epoch"].append(epoch)
+                    metrics[t]["train_loss"].append(float(train_loss[t]))
+                    metrics[t]["valid_loss"].append(float(valid_loss[t]))
+                    metrics[t]["lr"].append(float(lr_arr[t]))
+                    if cfg.kl_annealing is not None:
+                        metrics[t]["beta"].append(beta)
+                    for k, v in aux_host.items():
+                        metrics[t].setdefault(f"valid_{k}", []).append(
+                            float(v[t])
+                        )
+
+                improved = valid_loss < es_best - cfg.early_stop_min_delta
+                es_best = np.where(active & improved, valid_loss, es_best)
+                bad_checks = np.where(
+                    active, np.where(improved, 0, bad_checks + 1), bad_checks
+                )
+
+                save_every = max(cfg.save_check_every_n_epoch, 1)
+                save_eligible = (epoch + 1) % save_every == 0
+                if (
+                    math.lcm(save_every, max(cfg.check_val_every_n_epoch, 1))
+                    > cfg.max_epochs
+                ):
+                    if not misaligned_warned:
+                        logger.warning(
+                            "save_check_every_n_epoch=%d never aligns with "
+                            "check_val_every_n_epoch=%d within %d epochs; "
+                            "checkpointing at every validation instead.",
+                            cfg.save_check_every_n_epoch,
+                            cfg.check_val_every_n_epoch,
+                            cfg.max_epochs,
+                        )
+                        misaligned_warned = True
+                    save_eligible = True
+                if save_eligible:
+                    cap = active & (valid_loss < best_score)
+                    if cap.any():
+                        best_params = select_tree(cap, params, best_params)
+                        best_score = np.where(cap, valid_loss, best_score)
+                        best_epoch = np.where(cap, epoch, best_epoch)
+                    if cfg.post_annealing_checkpoint and epoch >= anneal_end:
+                        pcap = active & (valid_loss < post_best_score)
+                        if pcap.any():
+                            post_best_params = select_tree(
+                                pcap, params, post_best_params
+                            )
+                            post_best_score = np.where(
+                                pcap, valid_loss, post_best_score
+                            )
+                            post_best_epoch = np.where(
+                                pcap, epoch, post_best_epoch
+                            )
+                            post_has_best |= pcap
+
+                if plateaus is not None:
+                    scales = np.array(
+                        [
+                            plateaus[t].step(epoch, float(valid_loss[t]))
+                            if active[t]
+                            else plateaus[t].scale
+                            for t in range(T)
+                        ],
+                        np.float32,
+                    )
+                    try:
+                        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                            base_lr * scales, jnp.float32
+                        )
+                    except Exception:
+                        pass
+
+                stopped |= bad_checks >= cfg.early_stop_patience
+                if stopped.all():
+                    final_epoch = epoch
+                    logger.debug(
+                        "All %d tries early-stopped at epoch %d", T, epoch
+                    )
+                    break
+
+        # Per-try model selection (same rules as _fit)
+        results: List[TrainResult] = []
+        for t in range(T):
+            take = lambda tree: jax.tree.map(lambda a: a[t], tree)  # noqa: E731
+            if cfg.post_annealing_checkpoint and post_has_best[t]:
+                results.append(
+                    TrainResult(
+                        take(post_best_params),
+                        float(post_best_score[t]),
+                        metrics[t],
+                        int(post_best_epoch[t]),
+                        "best post-annealing",
+                    )
+                )
+            elif cfg.model_to_save == "best" and best_epoch[t] >= 0:
+                results.append(
+                    TrainResult(
+                        take(best_params),
+                        float(best_score[t]),
+                        metrics[t],
+                        int(best_epoch[t]),
+                        "best overall",
+                    )
+                )
+            else:
+                results.append(
+                    TrainResult(
+                        take(params),
+                        float(last_valid[t]),
+                        metrics[t],
+                        final_epoch,
+                        "last",
+                    )
+                )
+        return results

@@ -327,3 +327,32 @@ def test_atom_sensitivity_aggregation(cv_dataset, tmp_path):
     )
     assert os.path.exists(os.path.join(sens_dir, "sensitivity_analysis.csv"))
     assert os.path.exists(os.path.join(sens_dir, "sensitivity_structure.pdb"))
+
+
+def test_deep_cv_multi_try_ensemble(cv_dataset, tmp_path, monkeypatch):
+    """num_tries > 1 routes through the batched (vmapped) multi-try trainer
+    and still produces a valid deployed model + per-try checkpoints."""
+    from deep_cartograph_tpu.cv import deep as deep_mod
+
+    calls = []
+    orig = deep_mod.NonLinear._run_tries_ensemble
+
+    def spy(self, *args, **kwargs):
+        out = orig(self, *args, **kwargs)
+        calls.append(len(out))
+        return out
+
+    monkeypatch.setattr(deep_mod.NonLinear, "_run_tries_ensemble", spy)
+
+    cfg = base_config()
+    cfg["training"]["general"]["num_tries"] = 3
+    cfg["training"]["general"]["max_epochs"] = 20
+    calc, projection = _train("ae", cv_dataset, tmp_path, config=cfg)
+    assert projection is not None and projection.shape[0] == 400
+    assert calls == [3]  # the ensemble path ran once, returning all 3 tries
+    # one checkpoint folder per try
+    ckpt_root = os.path.join(str(tmp_path), "ae", "training", "checkpoints")
+    tries = sorted(os.listdir(ckpt_root))
+    assert tries == ["try_1", "try_2", "try_3"]
+    for t in tries:
+        assert os.path.exists(os.path.join(ckpt_root, t, "score.txt"))

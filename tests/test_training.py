@@ -252,3 +252,97 @@ def test_train_colvars_cross_topology(tmp_path, ca_system, rng):
     assert list(np.unique(calc.training_data_labels)) == [0, 1]
     projection = calc.run()
     assert projection.shape == (160, 2)
+
+
+def test_fit_ensemble_matches_serial(rng):
+    """fit_ensemble (all tries as one vmapped program) reproduces the serial
+    per-seed fits: same splits, same RNG streams, same selection rules."""
+    import jax
+    import jax.numpy as jnp
+
+    full = _toy_data(rng, n=120)
+    n = 120
+    n_train = 96
+    seeds = [11, 12, 13]
+    config = TrainerConfig(
+        batch_size=32,
+        max_epochs=15,
+        shuffle=True,
+        check_val_every_n_epoch=1,
+        early_stop_patience=50,
+        optimizer_name="Adam",
+        optimizer_kwargs={"lr": 0.05},
+        device="cpu",
+    )
+    trainer = Trainer(_mse_loss(), config)
+
+    # per-seed random splits, exactly like NonLinear._split
+    train_rows, valid_rows = [], []
+    for s in seeds:
+        order = np.random.default_rng(s).permutation(n)
+        train_rows.append(order[:n_train])
+        valid_rows.append(order[n_train:])
+    train_idx = np.asarray(train_rows, np.int32)
+    valid_idx = np.asarray(valid_rows, np.int32)
+
+    serial = []
+    for t, s in enumerate(seeds):
+        train = {k: v[train_idx[t]] for k, v in full.items()}
+        valid = {k: v[valid_idx[t]] for k, v in full.items()}
+        serial.append(trainer.fit(_init_params(), train, valid, seed=s))
+
+    params_stack = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_init_params() for _ in seeds]
+    )
+    ensemble = trainer.fit_ensemble(
+        params_stack, full, train_idx, valid_idx, seeds
+    )
+
+    assert len(ensemble) == len(serial)
+    for res_s, res_e in zip(serial, ensemble):
+        assert res_e.best_epoch == res_s.best_epoch
+        assert res_e.description == res_s.description
+        np.testing.assert_allclose(res_e.score, res_s.score, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(res_e.params["w"]),
+            np.asarray(res_s.params["w"]),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            res_e.metrics["valid_loss"], res_s.metrics["valid_loss"],
+            rtol=1e-5,
+        )
+
+
+def test_fit_ensemble_early_stop_freezes_per_try(rng):
+    """A try that hits patience stops updating its best/metrics while the
+    others continue (per-try early-stopping semantics preserved)."""
+    import jax
+    import jax.numpy as jnp
+
+    full = _toy_data(rng, n=80)
+    seeds = [1, 2]
+    config = TrainerConfig(
+        batch_size=16,
+        max_epochs=25,
+        shuffle=False,
+        check_val_every_n_epoch=1,
+        early_stop_patience=3,
+        early_stop_min_delta=1e9,  # nothing ever "improves": stop at 3 checks
+        optimizer_name="Adam",
+        optimizer_kwargs={"lr": 0.05},
+        device="cpu",
+    )
+    trainer = Trainer(_mse_loss(), config)
+    train_idx = np.tile(np.arange(64, dtype=np.int32), (2, 1))
+    valid_idx = np.tile(np.arange(64, 80, dtype=np.int32), (2, 1))
+    params_stack = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_init_params() for _ in seeds]
+    )
+    results = trainer.fit_ensemble(
+        params_stack, full, train_idx, valid_idx, seeds
+    )
+    for res in results:
+        # first check improves from inf, then `patience` bad checks -> stop
+        assert len(res.metrics["epoch"]) == 4
