@@ -256,18 +256,19 @@ class NonLinear(CVCalculator):
         # alone, so batching the tries is ~T x faster wall-clock). Falls back
         # to the serial per-seed loop on any failure.
         try_results: List[Tuple[int, Optional[TrainResult]]] = []
-        if self.num_tries > 1:
-            try:
-                try_results = self._run_tries_ensemble(
-                    trainer, dataset, provided_valid, n_total, n_train
-                )
-            except Exception as exc:
-                logger.warning(
-                    "Batched multi-try training failed (%s); falling back "
-                    "to serial tries.",
-                    exc,
-                )
-                try_results = []
+        try:
+            # num_tries == 1 also goes through this path: the chunked
+            # dispatch (several epochs per device call) still applies.
+            try_results = self._run_tries_ensemble(
+                trainer, dataset, provided_valid, n_total, n_train
+            )
+        except Exception as exc:
+            logger.warning(
+                "Batched multi-try training failed (%s); falling back "
+                "to serial tries.",
+                exc,
+            )
+            try_results = []
         if not try_results:
             try_results = self._run_tries_serial(
                 trainer, dataset, provided_valid

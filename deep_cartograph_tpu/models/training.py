@@ -220,6 +220,12 @@ class TrainerConfig:
     model_to_save: str = "best"               # 'best' | 'last'
     # VAE: only checkpoint 'best' after KL annealing completes
     post_annealing_checkpoint: bool = False
+    # fit_ensemble: epochs executed per device dispatch. Amortizes the
+    # per-epoch host round trip (dominant at reference-default epoch counts
+    # through a remote tunnel). 1 = dispatch per epoch. Forced to 1 when a
+    # ReduceLROnPlateau scheduler is configured (its LR updates are
+    # host-side, per validation check).
+    ensemble_epoch_chunk: int = 8
 
 
 @dataclass
@@ -556,60 +562,88 @@ class Trainer:
     # Ensemble training: all seeded tries as ONE vmapped device program
     # ------------------------------------------------------------------
     def _get_compiled_ensemble(self, optimizer, steps_per_epoch: int,
-                               n_valid: int):
-        """Jitted vmapped (epoch_step, eval_step) over a leading tries axis.
+                               n_valid: int, chunk: int):
+        """Jitted vmapped chunk program over a leading tries axis.
 
         The reference (and our serial path) trains num_tries seeds one after
         another (cv_calculator.py:1456-1553); on TPU the tiny per-CV MLPs
         leave the MXU idle, so the T tries run as one batched program:
         params/opt_state/rngs/batch-indices carry a leading T axis, the
         dataset is passed ONCE (in_axes=None) and gathered per try with
-        GLOBAL indices (no T data copies in HBM)."""
-        key = ("ens", steps_per_epoch, n_valid)
+        GLOBAL indices (no T data copies in HBM).
+
+        One dispatch executes `chunk` epochs (outer lax.scan) with an
+        evaluation after each — per-epoch train/valid losses, aux metrics,
+        and a params SNAPSHOT per epoch come back stacked, so the host can
+        replay its early-stopping / checkpoint-selection bookkeeping
+        epoch-by-epoch with unchanged semantics while paying 1/chunk of the
+        dispatch round trips. The RNG stream matches the serial path
+        exactly: one split per epoch for training batches, one extra split
+        consumed only on validation-check epochs (eval_mask)."""
+        key = ("ens", steps_per_epoch, n_valid, chunk)
         if key in self._compiled_cache:
             return self._compiled_cache[key]
         loss_fn = self.loss_fn
 
-        def one_epoch(params, opt_state, data, gbatches, weights, rng, beta):
-            def body(carry, scan_in):
+        def one_chunk(params, opt_state, data, gbatches, weights, rng,
+                      vidx, betas, eval_mask):
+            # gbatches/weights: (chunk, steps, B); betas/eval_mask: (chunk,)
+            def epoch_body(carry, xs):
                 params, opt_state, rng = carry
-                idx, w = scan_in  # idx: (B,) GLOBAL indices into data
-                rng, sub = jax.random.split(rng)
-                batch = {k: v[idx] for k, v in data.items()}
-                batch["weight"] = w
+                gb, w, beta, do_eval = xs
+                # Per-epoch split of the master key feeding the minibatch
+                # stream — the same key topology as fit()'s host-side split.
+                rng, epoch_sub = jax.random.split(rng)
 
-                def wrapped(p):
-                    return loss_fn(p, batch, sub, beta)
+                def mb_body(c2, scan_in):
+                    params, opt_state, mrng = c2
+                    idx, wt = scan_in  # (B,) GLOBAL indices into data
+                    mrng, sub = jax.random.split(mrng)
+                    batch = {k: v[idx] for k, v in data.items()}
+                    batch["weight"] = wt
 
-                (loss, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(
-                    params
+                    def wrapped(p):
+                        return loss_fn(p, batch, sub, beta)
+
+                    (loss, aux), grads = jax.value_and_grad(
+                        wrapped, has_aux=True
+                    )(params)
+                    updates, opt_state2 = optimizer.update(
+                        grads, opt_state, params
+                    )
+                    params2 = optax.apply_updates(params, updates)
+                    return (params2, opt_state2, mrng), loss
+
+                (params, opt_state, _), losses = jax.lax.scan(
+                    mb_body, (params, opt_state, epoch_sub), (gb, w)
                 )
-                updates, opt_state2 = optimizer.update(grads, opt_state, params)
-                params2 = optax.apply_updates(params, updates)
-                return (params2, opt_state2, rng), (loss, aux)
+                train_loss = jnp.mean(losses)
 
-            (params, opt_state, rng), (losses, auxes) = jax.lax.scan(
-                body, (params, opt_state, rng), (gbatches, weights)
+                # Evaluate every epoch (outputs for non-check epochs are
+                # discarded host-side) but only CONSUME an rng split on
+                # check epochs — keeps the key stream identical to fit().
+                rng2, sub = jax.random.split(rng)
+                rng = jnp.where(do_eval, rng2, rng)
+                batch = {k: v[vidx] for k, v in data.items()}
+                batch["weight"] = jnp.ones(n_valid, jnp.float32)
+                valid_loss, valid_aux = loss_fn(params, batch, sub, beta)
+                return (params, opt_state, rng), (
+                    train_loss, valid_loss, valid_aux, params
+                )
+
+            (params, opt_state, rng), (tl, vl, aux, snaps) = jax.lax.scan(
+                epoch_body, (params, opt_state, rng),
+                (gbatches, weights, betas, eval_mask),
             )
-            return params, opt_state, jnp.mean(losses), jax.tree.map(
-                jnp.mean, auxes
+            return params, opt_state, rng, tl, vl, aux, snaps
+
+        chunk_step = jax.jit(
+            jax.vmap(
+                one_chunk, in_axes=(0, 0, None, 0, 0, 0, 0, None, None)
             )
-
-        epoch_step = jax.jit(
-            jax.vmap(one_epoch, in_axes=(0, 0, None, 0, 0, 0, None))
         )
-
-        def one_eval(params, data, vidx, rng, beta):
-            batch = {k: v[vidx] for k, v in data.items()}
-            batch["weight"] = jnp.ones(n_valid, jnp.float32)
-            return loss_fn(params, batch, rng, beta)
-
-        eval_step = jax.jit(
-            jax.vmap(one_eval, in_axes=(0, None, 0, 0, None))
-        )
-
-        self._compiled_cache[key] = (epoch_step, eval_step)
-        return epoch_step, eval_step
+        self._compiled_cache[key] = chunk_step
+        return chunk_step
 
     def fit_ensemble(
         self,
@@ -700,16 +734,8 @@ class Trainer:
         train_idx = np.asarray(train_idx, np.int32)
         valid_idx_dev = jnp.asarray(valid_idx, np.int32)
 
-        epoch_step, eval_step = self._get_compiled_ensemble(
-            optimizer, steps_per_epoch, n_valid
-        )
-
         np_rngs = [np.random.default_rng(s) for s in seeds]
         keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
-
-        def split_keys(keys):
-            out = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
-            return out[:, 0], out[:, 1]
 
         def select_tree(mask_host, new, old):
             mask = jnp.asarray(mask_host)
@@ -744,46 +770,100 @@ class Trainer:
         anneal_end = (
             cfg.kl_annealing.end_epoch if cfg.kl_annealing is not None else 0
         )
-        final_epoch = cfg.max_epochs - 1
+        last_epoch = np.full(T, cfg.max_epochs - 1, np.int64)
+        last_params = params
 
-        for epoch in range(cfg.max_epochs):
-            beta = (
-                cfg.kl_annealing.beta(epoch)
-                if cfg.kl_annealing is not None
-                else 0.0
+        # ReduceLROnPlateau adjusts the LR host-side after every validation
+        # check — chunking multiple epochs past a check would apply the old
+        # LR; force one epoch per dispatch in that case.
+        chunk_cfg = 1 if plateaus is not None else max(
+            1, int(cfg.ensemble_epoch_chunk)
+        )
+        # Each chunked dispatch returns a params snapshot per epoch
+        # ((chunk, T, params) in HBM); cap that buffer at ~512 MB so huge
+        # encoders degrade to smaller chunks instead of OOM.
+        param_bytes = sum(
+            np.prod(np.asarray(a.shape)) * 4
+            for a in jax.tree.leaves(params)
+        )
+        if param_bytes > 0:
+            chunk_cfg = int(
+                max(1, min(chunk_cfg, (512 * 2**20) // max(param_bytes, 1)))
             )
-            gbatches = np.empty((T, steps_per_epoch, cfg.batch_size), np.int32)
-            wstack = np.empty((T, steps_per_epoch, cfg.batch_size), np.float32)
+        save_every = max(cfg.save_check_every_n_epoch, 1)
+        check_every = max(cfg.check_val_every_n_epoch, 1)
+        save_misaligned = math.lcm(save_every, check_every) > cfg.max_epochs
+
+        epoch0 = 0
+        while epoch0 < cfg.max_epochs and not stopped.all():
+            C = min(chunk_cfg, cfg.max_epochs - epoch0)
+            chunk_step = self._get_compiled_ensemble(
+                optimizer, steps_per_epoch, n_valid, C
+            )
+            betas = np.array(
+                [
+                    cfg.kl_annealing.beta(epoch0 + c)
+                    if cfg.kl_annealing is not None
+                    else 0.0
+                    for c in range(C)
+                ],
+                np.float32,
+            )
+            eval_mask = np.array(
+                [(epoch0 + c + 1) % check_every == 0 for c in range(C)]
+            )
+            gbatches = np.empty(
+                (T, C, steps_per_epoch, cfg.batch_size), np.int32
+            )
+            wstack = np.empty(
+                (T, C, steps_per_epoch, cfg.batch_size), np.float32
+            )
             for t in range(T):
-                batches, weights = _make_batches(
-                    n_train, cfg.batch_size, cfg.shuffle, np_rngs[t]
-                )
-                gbatches[t] = train_idx[t][batches]
-                wstack[t] = weights
-            keys, subs = split_keys(keys)
-            params, opt_state, train_loss, _ = epoch_step(
+                for c in range(C):
+                    batches, weights = _make_batches(
+                        n_train, cfg.batch_size, cfg.shuffle, np_rngs[t]
+                    )
+                    gbatches[t, c] = train_idx[t][batches]
+                    wstack[t, c] = weights
+
+            params, opt_state, keys, tl, vl, aux, snaps = chunk_step(
                 params,
                 opt_state,
                 data_dev,
                 jnp.asarray(gbatches),
                 jnp.asarray(wstack),
-                subs,
-                jnp.float32(beta),
+                keys,
+                valid_idx_dev,
+                jnp.asarray(betas),
+                jnp.asarray(eval_mask),
             )
+            tl_host = np.asarray(tl, np.float64)  # (T, C)
+            vl_host = np.asarray(vl, np.float64)  # (T, C)
+            aux_host = {k: np.asarray(v) for k, v in aux.items()}  # (T, C)
 
-            if (epoch + 1) % cfg.check_val_every_n_epoch == 0:
-                keys, subs = split_keys(keys)
-                valid_loss, valid_aux = eval_step(
-                    params, valid_dev, valid_idx_dev, subs, jnp.float32(beta)
-                )
-                valid_loss = np.asarray(valid_loss, np.float64)
-                aux_host = {k: np.asarray(v) for k, v in valid_aux.items()}
-                try:
-                    lr_arr = np.asarray(
-                        opt_state.hyperparams["learning_rate"], np.float64
+            # Replay the per-epoch bookkeeping over the chunk — identical
+            # logic and outcomes to the one-epoch-per-dispatch loop.
+            for c in range(C):
+                epoch = epoch0 + c
+                if not eval_mask[c] or stopped.all():
+                    continue
+                valid_loss = vl_host[:, c]
+                beta = float(betas[c])
+                if cfg.lr_scheduler and cfg.lr_scheduler.get("name") == "OneCycleLR":
+                    # metric-only: the in-optimizer schedule value at this epoch
+                    lr_arr = np.full(
+                        T,
+                        float(
+                            self._optimizer_cache_lr(
+                                steps_per_epoch, (epoch + 1) * steps_per_epoch
+                            )
+                        ),
                     )
-                    lr_arr = np.broadcast_to(np.atleast_1d(lr_arr), (T,))
-                except Exception:
+                elif plateaus is not None:
+                    lr_arr = np.array(
+                        [base_lr * plateaus[t].scale for t in range(T)]
+                    )
+                else:
                     lr_arr = np.full(T, base_lr)
 
                 active = ~stopped
@@ -792,14 +872,14 @@ class Trainer:
                         continue
                     last_valid[t] = float(valid_loss[t])
                     metrics[t]["epoch"].append(epoch)
-                    metrics[t]["train_loss"].append(float(train_loss[t]))
+                    metrics[t]["train_loss"].append(float(tl_host[t, c]))
                     metrics[t]["valid_loss"].append(float(valid_loss[t]))
                     metrics[t]["lr"].append(float(lr_arr[t]))
                     if cfg.kl_annealing is not None:
                         metrics[t]["beta"].append(beta)
                     for k, v in aux_host.items():
                         metrics[t].setdefault(f"valid_{k}", []).append(
-                            float(v[t])
+                            float(v[t, c])
                         )
 
                 improved = valid_loss < es_best - cfg.early_stop_min_delta
@@ -808,12 +888,8 @@ class Trainer:
                     active, np.where(improved, 0, bad_checks + 1), bad_checks
                 )
 
-                save_every = max(cfg.save_check_every_n_epoch, 1)
                 save_eligible = (epoch + 1) % save_every == 0
-                if (
-                    math.lcm(save_every, max(cfg.check_val_every_n_epoch, 1))
-                    > cfg.max_epochs
-                ):
+                if save_misaligned:
                     if not misaligned_warned:
                         logger.warning(
                             "save_check_every_n_epoch=%d never aligns with "
@@ -825,17 +901,18 @@ class Trainer:
                         )
                         misaligned_warned = True
                     save_eligible = True
+                snap_c = jax.tree.map(lambda a: a[:, c], snaps)
                 if save_eligible:
                     cap = active & (valid_loss < best_score)
                     if cap.any():
-                        best_params = select_tree(cap, params, best_params)
+                        best_params = select_tree(cap, snap_c, best_params)
                         best_score = np.where(cap, valid_loss, best_score)
                         best_epoch = np.where(cap, epoch, best_epoch)
                     if cfg.post_annealing_checkpoint and epoch >= anneal_end:
                         pcap = active & (valid_loss < post_best_score)
                         if pcap.any():
                             post_best_params = select_tree(
-                                pcap, params, post_best_params
+                                pcap, snap_c, post_best_params
                             )
                             post_best_score = np.where(
                                 pcap, valid_loss, post_best_score
@@ -862,13 +939,26 @@ class Trainer:
                     except Exception:
                         pass
 
-                stopped |= bad_checks >= cfg.early_stop_patience
-                if stopped.all():
-                    final_epoch = epoch
-                    logger.debug(
-                        "All %d tries early-stopped at epoch %d", T, epoch
+                newly_stopped = (
+                    ~stopped & (bad_checks >= cfg.early_stop_patience)
+                )
+                if newly_stopped.any():
+                    # Freeze each stopping try's "last" params at ITS stop
+                    # epoch (serial fit() returns params as of the break).
+                    last_params = select_tree(
+                        newly_stopped, snap_c, last_params
                     )
-                    break
+                    last_epoch = np.where(newly_stopped, epoch, last_epoch)
+                    stopped |= newly_stopped
+                    if stopped.all():
+                        logger.debug(
+                            "All %d tries early-stopped at epoch %d", T, epoch
+                        )
+            epoch0 += C
+
+        # Tries that ran to max_epochs keep their final params as "last".
+        if (~stopped).any():
+            last_params = select_tree(~stopped, params, last_params)
 
         # Per-try model selection (same rules as _fit)
         results: List[TrainResult] = []
@@ -897,11 +987,23 @@ class Trainer:
             else:
                 results.append(
                     TrainResult(
-                        take(params),
+                        take(last_params),
                         float(last_valid[t]),
                         metrics[t],
-                        final_epoch,
+                        int(last_epoch[t]),
                         "last",
                     )
                 )
         return results
+
+    def _optimizer_cache_lr(self, steps_per_epoch: int, step_count: int):
+        """OneCycle LR value at a given step (metrics-only reconstruction)."""
+        cfg = self.config
+        kwargs = dict(cfg.lr_scheduler.get("kwargs", {}))
+        max_lr = kwargs.pop("max_lr", 1e-3)
+        total = kwargs.pop("epochs", cfg.max_epochs) * kwargs.pop(
+            "steps_per_epoch", steps_per_epoch
+        )
+        return one_cycle_schedule(max_lr, total, **kwargs)(
+            min(step_count, total)
+        )
