@@ -314,17 +314,22 @@ def main() -> None:
             optimizer_kwargs={"lr": 1e-3},
             model_to_save="last",
             device="default",
+            # whole training = ONE device dispatch (the shipped deep-CV
+            # path: Trainer.fit_ensemble with chunked epochs)
+            ensemble_epoch_chunk=EPOCHS,
         )
         # One Trainer per feature width: its compilation cache makes the
         # timed pass reuse the warm pass's XLA executables.
         trainer = trainers.setdefault(d_in, Trainer(loss_fn, config))
-        train_data = {"data": x_t, "data_lag": x_lag}
-        valid_data = {
-            "data": x_t[-BATCH:],
-            "data_lag": x_lag[-BATCH:],
-        }
+        full = {"data": x_t, "data_lag": x_lag}
+        n_tot = int(x_t.shape[0])
+        train_idx = np.arange(n_tot, dtype=np.int32)[None]
+        valid_idx = np.arange(n_tot - BATCH, n_tot, dtype=np.int32)[None]
+        params_stack = jax.tree.map(lambda a: a[None], params)
         t0 = time.time()
-        result = trainer.fit(params, train_data, valid_data, seed=0)
+        result = trainer.fit_ensemble(
+            params_stack, full, train_idx, valid_idx, [0]
+        )[0]
         final_loss = float(result.score)
         t_train = time.time() - t0
         total = time.time() - t_start
