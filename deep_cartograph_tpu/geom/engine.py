@@ -79,8 +79,24 @@ class Featurizer:
         """Default-backend evaluator (sharded/deploy callers)."""
         return self._get_evaluator(None)
 
-    def _get_evaluator(self, device) -> PlanEvaluator:
+    def _get_evaluator(self, device):
         key = None if device is None else str(device)
+        if key is None and self._default_backend_devices() > 1:
+            # Multi-chip backend: shard the frame axis of every chunk over
+            # all devices automatically (SURVEY §2.5 frame-axis parallelism)
+            # — the tools use the whole mesh without configuration.
+            key = "sharded"
+            if key not in self._evaluators:
+                self._evaluators[key] = ShardedChunkEvaluator(
+                    PlanEvaluator(
+                        self.plan,
+                        fit_reference=self._fit[0],
+                        fit_weights=self._fit[1],
+                        dtype=self._dtype,
+                        device=None,
+                    )
+                )
+            return self._evaluators[key]
         if key not in self._evaluators:
             self._evaluators[key] = PlanEvaluator(
                 self.plan,
@@ -90,6 +106,15 @@ class Featurizer:
                 device=device,
             )
         return self._evaluators[key]
+
+    @staticmethod
+    def _default_backend_devices() -> int:
+        import jax
+
+        try:
+            return len(jax.devices())
+        except RuntimeError:
+            return 1
 
     def _host_cpu_device(self):
         import jax
@@ -363,6 +388,44 @@ class Featurizer:
             frames_d
         )
         return out, n
+
+
+class ShardedChunkEvaluator:
+    """Frame-axis-sharded adapter over PlanEvaluator for multi-device
+    backends: every fixed-shape chunk splits across all devices of a 1-D
+    mesh, so the tools use each chip of a pod slice automatically (the
+    reference has no multi-device execution at all; SURVEY §2.5). Exposes
+    the PlanEvaluator call surface (__call__/eval_raw/device_fn)."""
+
+    def __init__(self, evaluator: PlanEvaluator):
+        import jax
+
+        from deep_cartograph_tpu.parallel.mesh import frame_sharding, get_mesh
+
+        self.inner = evaluator
+        self.mesh = get_mesh()
+        self.n_devices = int(self.mesh.devices.size)
+        self._sharding = frame_sharding(self.mesh)
+        self._jitted = jax.jit(
+            evaluator.device_fn(), out_shardings=self._sharding
+        )
+
+    def device_fn(self):
+        return self.inner.device_fn()
+
+    def eval_raw(self, coords_chunk):
+        import jax
+
+        from deep_cartograph_tpu.parallel.mesh import pad_to_multiple
+
+        padded, n = pad_to_multiple(
+            np.asarray(coords_chunk, np.float32), self.n_devices
+        )
+        out = self._jitted(jax.device_put(padded, self._sharding))
+        return out if out.shape[0] == n else out[:n]
+
+    def __call__(self, coords_chunk: np.ndarray) -> np.ndarray:
+        return np.asarray(self.eval_raw(coords_chunk))
 
 
 def featurize_trajectory(

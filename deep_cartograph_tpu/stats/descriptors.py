@@ -103,16 +103,59 @@ def _feature_blocks(features: np.ndarray):
         yield features[:, start : start + block]
 
 
+def _put_feature_sharded(block: np.ndarray):
+    """Multi-device backends: place the block with its FEATURE axis sharded
+    over a 1-D mesh. Per-feature reductions (entropy histogram, std) then
+    run fully local to each device — every chip of a pod slice works on its
+    feature slice with zero collectives. Returns (device_array, n_features)
+    where the feature axis may be padded to the mesh size."""
+    import jax
+
+    from deep_cartograph_tpu.parallel.mesh import (
+        FRAME_AXIS,
+        get_mesh,
+        pad_to_multiple,
+    )
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    mesh = get_mesh()
+    padded, f = pad_to_multiple(
+        np.asarray(block, np.float32), int(mesh.devices.size), axis=1
+    )
+    return (
+        jax.device_put(padded, NamedSharding(mesh, P(None, FRAME_AXIS))),
+        f,
+    )
+
+
+def _placed_blocks(features: np.ndarray):
+    """(device_block, n_features) pairs: feature-sharded over the mesh for
+    large multi-device workloads, plain placement otherwise."""
+    import jax
+
+    from deep_cartograph_tpu.utils.device import SMALL_WORK_ELEMENTS
+
+    arr = np.asarray(features)
+    shard = arr.size >= SMALL_WORK_ELEMENTS and len(jax.devices()) > 1
+    for block in _feature_blocks(arr):
+        if shard:
+            yield _put_feature_sharded(block)
+        else:
+            yield jnp.asarray(block), block.shape[1]
+
+
 def shannon_entropy(features: np.ndarray, num_bins: int = 100) -> np.ndarray:
     """Per-feature entropy, rounded to 3 decimals like the reference.
     Feature-blocked for matrices larger than the per-dispatch budget; small
-    host inputs run on the host CPU (remote compile latency dominates)."""
+    host inputs run on the host CPU (remote compile latency dominates);
+    large inputs on multi-device backends shard the feature axis."""
     from deep_cartograph_tpu.utils.device import maybe_cpu
 
     with maybe_cpu(np.asarray(features).size):
         parts = [
-            np.asarray(_entropy_all(jnp.asarray(block), num_bins))
-            for block in _feature_blocks(features)
+            np.asarray(_entropy_all(block, num_bins))[:f]
+            for block, f in _placed_blocks(features)
         ]
     return np.round(np.concatenate(parts), 3)
 
@@ -123,8 +166,8 @@ def standard_deviation(features: np.ndarray) -> np.ndarray:
 
     with maybe_cpu(np.asarray(features).size):
         parts = [
-            np.asarray(_std_all(jnp.asarray(block)))
-            for block in _feature_blocks(features)
+            np.asarray(_std_all(block))[:f]
+            for block, f in _placed_blocks(features)
         ]
     return np.round(np.concatenate(parts), 3)
 

@@ -92,7 +92,10 @@ def test_multi_trajectory_shared_chunks(ca_system, tmp_path, monkeypatch):
     """Same-topology trajectories are featurized through SHARED fixed-shape
     chunks: one compiled program, one packed evaluation for several small
     trajectories (the reference loops serially, compute_features.py:152)."""
-    from deep_cartograph_tpu.geom.engine import Featurizer
+    from deep_cartograph_tpu.geom.engine import (
+        Featurizer,
+        ShardedChunkEvaluator,
+    )
     from deep_cartograph_tpu.geom.kernels import PlanEvaluator
     from deep_cartograph_tpu.io.dcd import write_dcd
     from deep_cartograph_tpu.io.topology import Topology
@@ -110,13 +113,24 @@ def test_multi_trajectory_shared_chunks(ca_system, tmp_path, monkeypatch):
     featurizer = Featurizer(top, labels, device="cpu")
 
     calls = []
-    orig = PlanEvaluator.eval_raw
 
-    def counting(self, coords_chunk):
-        calls.append(np.asarray(coords_chunk).shape[0])
-        return orig(self, coords_chunk)
+    def make_counting(orig):
+        def counting(self, coords_chunk):
+            calls.append(np.asarray(coords_chunk).shape[0])
+            return orig(self, coords_chunk)
 
-    monkeypatch.setattr(PlanEvaluator, "eval_raw", counting)
+        return counting
+
+    # Chunks go through either the plain evaluator or the multi-device
+    # frame-sharded wrapper (8 virtual CPU devices in tests) — spy on both.
+    monkeypatch.setattr(
+        PlanEvaluator, "eval_raw", make_counting(PlanEvaluator.eval_raw)
+    )
+    monkeypatch.setattr(
+        ShardedChunkEvaluator,
+        "eval_raw",
+        make_counting(ShardedChunkEvaluator.eval_raw),
+    )
     results = featurizer.featurize_trajectories(paths, frame_chunk=64)
 
     # 3 x 20 = 60 frames packed into ONE 64-frame evaluation

@@ -232,3 +232,83 @@ def test_local_shard_partitions_work():
     parts = [local_shard(items, process_id=p, num_processes=3) for p in range(3)]
     assert sorted(sum(parts, [])) == sorted(items)
     assert all(len(p) >= 2 for p in parts)
+
+
+def test_featurizer_auto_shards_over_multi_device_backend(ca_system):
+    """With >1 default-backend devices (8 virtual CPUs here) the Featurizer
+    routes chunks through ShardedChunkEvaluator automatically — the frame
+    axis of each chunk spreads over the whole mesh (SURVEY §2.5) — with
+    values identical to the single-device evaluator."""
+    import jax
+    import numpy as np
+
+    from deep_cartograph_tpu.geom.engine import (
+        Featurizer,
+        ShardedChunkEvaluator,
+    )
+    from deep_cartograph_tpu.geom.kernels import PlanEvaluator
+    from deep_cartograph_tpu.io.topology import Topology
+
+    assert len(jax.devices()) > 1  # conftest provisions the virtual mesh
+
+    top = Topology.from_file(ca_system.pdb_path)
+    labels = ["dist-@CA_1-@CA_5", "sin-@CA_1-@CA_2-@CA_3-@CA_4"]
+    featurizer = Featurizer(top, labels, device="default")
+
+    ev = featurizer._get_evaluator(None)
+    assert isinstance(ev, ShardedChunkEvaluator)
+    assert ev.n_devices == len(jax.devices())
+
+    coords = ca_system.coords[:30]  # 30 frames over 8 devices: uneven -> pad
+    out_sharded = np.asarray(ev.eval_raw(coords))
+    reference = PlanEvaluator(featurizer.plan)(coords)
+    assert out_sharded.shape == reference.shape
+    np.testing.assert_allclose(out_sharded, reference, atol=1e-6)
+
+    # the device view really is sharded across the mesh
+    raw = ev._jitted(
+        jax.device_put(
+            np.repeat(coords[:1], 8 * 4, axis=0), ev._sharding
+        )
+    )
+    assert len(raw.sharding.device_set) == len(jax.devices())
+
+
+def test_filter_stats_auto_shard_feature_axis(rng, monkeypatch):
+    """Large stats workloads on multi-device backends shard the FEATURE axis
+    (zero-collective per-feature reductions) and match the unsharded values."""
+    import jax
+
+    from deep_cartograph_tpu.stats import descriptors
+    from deep_cartograph_tpu.stats.descriptors import (
+        shannon_entropy,
+        standard_deviation,
+    )
+
+    assert len(jax.devices()) > 1
+    x = rng.standard_normal((400, 37)).astype(np.float32)  # 37 % 8 != 0
+
+    ent_small = shannon_entropy(x)
+    std_small = standard_deviation(x)
+
+    placed = []
+    orig = descriptors._put_feature_sharded
+
+    def spy(block):
+        out = orig(block)
+        placed.append(out[0].sharding)
+        return out
+
+    monkeypatch.setattr(descriptors, "_put_feature_sharded", spy)
+    # Force the sharded branch by dropping the size threshold
+    monkeypatch.setattr(
+        "deep_cartograph_tpu.utils.device.SMALL_WORK_ELEMENTS", 0
+    )
+    ent_sharded = shannon_entropy(x)
+    std_sharded = standard_deviation(x)
+
+    assert placed and all(
+        len(s.device_set) == len(jax.devices()) for s in placed
+    )
+    np.testing.assert_allclose(ent_sharded, ent_small, atol=1e-6)
+    np.testing.assert_allclose(std_sharded, std_small, atol=1e-6)
