@@ -92,6 +92,41 @@ def _kde_fes_streaming(
     return fes, error
 
 
+def _kde_fes_sharded(
+    data: np.ndarray,
+    grid_points: np.ndarray,
+    bandwidth: float,
+    kt: float,
+    num_blocks: int,
+):
+    """Blockwise FES with each block's samples FRAME-SHARDED over all
+    devices (parallel.sharding.sharded_kde_logdensity: local logsumexp +
+    pmax/psum combine) — the pod-scale FES path, engaged automatically on
+    multi-device backends."""
+    from deep_cartograph_tpu.parallel.sharding import sharded_kde_logdensity
+
+    n = data.shape[0]
+    block_len = n // num_blocks
+    block_lse = []
+    for b in range(num_blocks):
+        chunk = data[b * block_len : (b + 1) * block_len]
+        logp = sharded_kde_logdensity(chunk, grid_points, bandwidth)
+        block_lse.append(logp + np.log(block_len))  # raw logsumexp per block
+    block_lse = np.stack(block_lse)  # (num_blocks, grid)
+    from scipy.special import logsumexp as _lse
+
+    full_logp = _lse(block_lse, axis=0) - np.log(n)
+    fes = -kt * full_logp
+    fes = fes - fes.min()
+    if num_blocks > 1:
+        fes_b = -kt * (block_lse - np.log(block_len))
+        fes_b = fes_b - fes_b.min(axis=1, keepdims=True)
+        error = fes_b.std(axis=0) / np.sqrt(num_blocks)
+    else:
+        error = None
+    return fes, error
+
+
 def compute_fes(
     data: np.ndarray,
     temperature: float = 300.0,
@@ -128,11 +163,20 @@ def compute_fes(
     n_trim = (n // num_blocks) * num_blocks
 
     if grid_points.shape[0] * n_trim > 50_000_000:
-        # Large problems: the streaming Pallas kernel never materializes the
-        # (grid, samples) matrix (see ops/pallas_kernels.kde_logsumexp).
-        fes, error = _kde_fes_streaming(
-            data[:n_trim], grid_points, bandwidth, kt, num_blocks
-        )
+        import jax as _jax
+
+        if len(_jax.devices()) > 1:
+            # Multi-device backend: frame-shard each block's samples over
+            # the mesh (pmax/psum logsumexp combine).
+            fes, error = _kde_fes_sharded(
+                data[:n_trim], grid_points, bandwidth, kt, num_blocks
+            )
+        else:
+            # Single device: the streaming Pallas kernel never materializes
+            # the (grid, samples) matrix (ops/pallas_kernels.kde_logsumexp).
+            fes, error = _kde_fes_streaming(
+                data[:n_trim], grid_points, bandwidth, kt, num_blocks
+            )
     else:
         from deep_cartograph_tpu.utils.device import maybe_cpu
 

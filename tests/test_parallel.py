@@ -312,3 +312,33 @@ def test_filter_stats_auto_shard_feature_axis(rng, monkeypatch):
     )
     np.testing.assert_allclose(ent_sharded, ent_small, atol=1e-6)
     np.testing.assert_allclose(std_sharded, std_small, atol=1e-6)
+
+
+def test_compute_fes_multi_device_path_matches(rng):
+    """Large-FES requests on multi-device backends route through the
+    frame-sharded KDE and match the dense single-program estimate."""
+    import jax
+
+    from deep_cartograph_tpu.fes import kde as kde_mod
+
+    assert len(jax.devices()) > 1
+    data = np.concatenate(
+        [
+            rng.normal(-1.0, 0.2, 700),
+            rng.normal(1.2, 0.3, 700),
+        ]
+    ).astype(np.float32)
+
+    axes_small, fes_small, err_small = kde_mod.compute_fes(
+        data, bandwidth=0.1, num_bins=60, num_blocks=4
+    )
+
+    fes_sharded, err_sharded = kde_mod._kde_fes_sharded(
+        data[: (len(data) // 4) * 4, None],
+        axes_small[0][:, None],
+        0.1,
+        kde_mod.KB_KJ_MOL * 300.0,
+        4,
+    )
+    np.testing.assert_allclose(fes_sharded, fes_small, atol=1e-3)
+    np.testing.assert_allclose(err_sharded, err_small, atol=1e-3)
