@@ -76,56 +76,91 @@ def read_xtc(
     stop: Optional[int] = None,
     stride: int = 1,
 ) -> np.ndarray:
-    """Read coordinates as (n_frames, n_atoms, 3) float32 Angstroms."""
+    """Read coordinates as (n_frames, n_atoms, 3) float32 Angstroms.
+
+    Two passes: the frame table is walked WITHOUT decompression (header
+    fields give every payload size), then all selected frames decode in
+    parallel through the native OpenMP batch kernel
+    (xdrcodec.cpp xtc_decompress_frames_batch) — frames are independent
+    bit streams. Falls back to serial per-frame decode for tiny
+    uncompressed frames or when the native batch symbol is absent."""
     lib = _lib()
     with open(path, "rb") as fh:
         data = fh.read()
     buf = np.frombuffer(data, np.uint8)
 
-    frames: List[np.ndarray] = []
+    # Pass 1: index the frame table (no decompression)
+    selected: List[tuple] = []  # (coord_off, lsize)
     off = 0
     index = 0
     while off + 56 <= len(data):
-        magic, natoms = struct.unpack_from(">ii", data, off)
+        magic, _natoms = struct.unpack_from(">ii", data, off)
         if magic != _MAGIC:
             raise XTCError(f"Bad XTC magic {magic} at offset {off}")
         lsize_off = off + 16 + 36
         (lsize,) = struct.unpack_from(">i", data, lsize_off)
         coord_off = lsize_off + 4
-        take = (
+        if lsize <= 9:
+            consumed = lsize * 12
+        else:
+            # precision + minint*3 + maxint*3 + smallidx = 8 ints, then nbytes
+            (nbytes,) = struct.unpack_from(">i", data, coord_off + 32)
+            consumed = 36 + ((nbytes + 3) // 4) * 4
+        if (
             index >= start
             and (stop is None or index < stop)
             and (index - start) % stride == 0
-        )
-        if lsize <= 9:
-            n_bytes = lsize * 12
-            if take:
-                frame = np.frombuffer(
-                    data, dtype=">f4", count=lsize * 3, offset=coord_off
-                ).reshape(lsize, 3)
-                frames.append(
-                    (frame * _NM_TO_ANGSTROM).astype(np.float32)
-                )
-            off = coord_off + n_bytes
-        else:
-            out = np.empty((natoms, 3), np.float32)
-            consumed = lib.xtc_decompress_coords(
-                buf[coord_off:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                len(data) - coord_off,
-                natoms,
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            )
-            if consumed < 0:
-                raise XTCError(f"XTC decompression failed (code {consumed})")
-            if take:
-                frames.append(out * _NM_TO_ANGSTROM)
-            off = coord_off + consumed
+        ):
+            selected.append((coord_off, lsize))
+        off = coord_off + consumed
         index += 1
         if stop is not None and index >= stop:
             break
 
-    if not frames:
+    if not selected:
         raise XTCError(f"No frames read from {path}")
+
+    lsizes = {l for _, l in selected}
+    if (
+        len(lsizes) == 1
+        and next(iter(lsizes)) > 9
+        and hasattr(lib, "xtc_decompress_frames_batch")
+    ):
+        # Pass 2: all frames at once, OpenMP-parallel
+        natoms = next(iter(lsizes))
+        offsets = np.asarray([o for o, _ in selected], np.int64)
+        out = np.empty((len(selected), natoms, 3), np.float32)
+        rc = lib.xtc_decompress_frames_batch(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_long(len(data)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            len(selected),
+            natoms,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc < 0:
+            raise XTCError(f"XTC batch decompression failed (code {rc})")
+        return out * np.float32(_NM_TO_ANGSTROM)
+
+    # Serial fallback (tiny uncompressed frames / no batch symbol)
+    frames: List[np.ndarray] = []
+    for coord_off, lsize in selected:
+        if lsize <= 9:
+            frame = np.frombuffer(
+                data, dtype=">f4", count=lsize * 3, offset=coord_off
+            ).reshape(lsize, 3)
+            frames.append((frame * _NM_TO_ANGSTROM).astype(np.float32))
+        else:
+            out = np.empty((lsize, 3), np.float32)
+            consumed = lib.xtc_decompress_coords(
+                buf[coord_off:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(data) - coord_off,
+                lsize,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            if consumed < 0:
+                raise XTCError(f"XTC decompression failed (code {consumed})")
+            frames.append(out * _NM_TO_ANGSTROM)
     return np.stack(frames)
 
 

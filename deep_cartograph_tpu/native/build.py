@@ -82,6 +82,13 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
+    if hasattr(lib, "xtc_decompress_frames_batch"):
+        lib.xtc_decompress_frames_batch.restype = ctypes.c_int
+        lib.xtc_decompress_frames_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
     if hasattr(lib, "colvars_parse"):
         lib.colvars_parse.restype = ctypes.c_long
         lib.colvars_parse.argtypes = [

@@ -391,4 +391,29 @@ int xtc_decompress_coords(const uint8_t* in, int in_size, int natoms,
     return int(p - in) + ((nbytes + 3) / 4) * 4;
 }
 
+// Parallel batch decode: frame f's xdr3dfcoord section starts at
+// data + offsets[f] (caller walks the frame table — header sizes are
+// readable without decompression). All frames share natoms; out is
+// (n_frames, natoms, 3) nm floats. Frames are independent bit streams,
+// so they decode concurrently (OpenMP). Returns 0, or the error code of
+// a failing frame.
+int xtc_decompress_frames_batch(const uint8_t* data, long data_size,
+                                const long* offsets, int n_frames,
+                                int natoms, float* out) {
+    int err = 0;
+#pragma omp parallel for schedule(dynamic, 4)
+    for (int f = 0; f < n_frames; ++f) {
+        long avail = data_size - offsets[f];
+        if (avail > INT32_MAX) avail = INT32_MAX;
+        int rc = xtc_decompress_coords(
+            data + offsets[f], int(avail), natoms,
+            out + size_t(f) * size_t(natoms) * 3);
+        if (rc < 0) {
+#pragma omp atomic write
+            err = rc;
+        }
+    }
+    return err;
+}
+
 }  // extern "C"

@@ -109,3 +109,37 @@ def test_native_dcd_loader_lifecycle(tmp_path, rng):
     lib.dcd_close(h)
 
     assert not lib.dcd_open(str(tmp_path / "nope.dcd").encode(), 16, 2)
+
+
+def test_xtc_batch_decode_matches_serial(tmp_path):
+    """The OpenMP batch decoder (xtc_decompress_frames_batch) returns the
+    same coordinates as the per-frame path; read_xtc uses it whenever the
+    symbol exists (gains appear on multi-core hosts)."""
+    import deep_cartograph_tpu.io.xtc as xtc_mod
+    from deep_cartograph_tpu.io.xtc import read_xtc, write_xtc
+
+    rng = np.random.default_rng(3)
+    coords = (rng.standard_normal((25, 40, 3)) * 4).astype(np.float32)
+    path = str(tmp_path / "traj.xtc")
+    write_xtc(path, coords)
+
+    lib = xtc_mod._lib()
+    assert hasattr(lib, "xtc_decompress_frames_batch")
+    batch = read_xtc(path)
+
+    class _NoBatch:  # hide the batch symbol -> serial fallback
+        xtc_decompress_coords = lib.xtc_decompress_coords
+
+    orig = xtc_mod._lib
+    xtc_mod._lib = lambda: _NoBatch
+    try:
+        serial = read_xtc(path)
+    finally:
+        xtc_mod._lib = orig
+
+    np.testing.assert_array_equal(batch, serial)
+    np.testing.assert_allclose(batch, coords, atol=2e-2)  # xtc precision
+
+    # slicing semantics identical through the indexed path
+    sliced = read_xtc(path, start=3, stop=20, stride=4)
+    np.testing.assert_array_equal(sliced, batch[3:20:4])
