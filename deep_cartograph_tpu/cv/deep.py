@@ -280,6 +280,13 @@ class NonLinear(CVCalculator):
             if result is None:
                 continue
             self._save_try_checkpoint(result, try_num)
+            # Soft convergence check (reference cv_calculator.py:1644-1656)
+            vl = (result.metrics or {}).get("valid_loss") or []
+            if vl and min(vl) > vl[0]:
+                logger.warning(
+                    "Try %d: validation loss did not decrease during training.",
+                    try_num,
+                )
             if not self._validate_result(result):
                 continue
             score = float(result.score)
