@@ -356,3 +356,33 @@ def test_deep_cv_multi_try_ensemble(cv_dataset, tmp_path, monkeypatch):
     assert tries == ["try_1", "try_2", "try_3"]
     for t in tries:
         assert os.path.exists(os.path.join(ckpt_root, t, "score.txt"))
+
+
+def test_orbax_checkpoint_mirror_restores(cv_dataset, tmp_path):
+    """The per-try orbax mirror (sharding-aware restore format for pod runs)
+    restores parameters identical to the msgpack checkpoint."""
+    import flax.serialization
+    import jax
+
+    orbax = pytest.importorskip("orbax.checkpoint")
+
+    cfg = base_config()
+    cfg["training"]["general"]["num_tries"] = 1
+    cfg["training"]["general"]["max_epochs"] = 10
+    _train("ae", cv_dataset, tmp_path, config=cfg)
+
+    folder = os.path.join(str(tmp_path), "ae", "training", "checkpoints",
+                          "try_1")
+    orbax_dir = os.path.join(folder, "orbax")
+    assert os.path.isdir(orbax_dir)
+
+    with orbax.StandardCheckpointer() as ckpt:
+        restored = ckpt.restore(os.path.abspath(orbax_dir))
+    with open(os.path.join(folder, "model.msgpack"), "rb") as fh:
+        from_msgpack = flax.serialization.from_bytes(restored, fh.read())
+
+    flat_r = jax.tree.leaves(restored)
+    flat_m = jax.tree.leaves(from_msgpack)
+    assert len(flat_r) == len(flat_m) > 0
+    for a, b in zip(flat_r, flat_m):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
