@@ -1,0 +1,33 @@
+"""Drop-in `deep_cartograph.data` package.
+
+The reference bundles binary example datasets here
+(/root/reference/deep_cartograph/data: alanine_dipeptide,
+calpha_transitions, muller_brown, peptide_ensemble, protein_1BM8). This
+framework GENERATES equivalent synthetic datasets into this package
+directory on first import (deep_cartograph_tpu.utils.demo_data), keeping
+the same directory layout and naming so reference-style resolution —
+
+    import importlib.resources as resources
+    from deep_cartograph import data
+    data_folder = resources.files(data)
+    traj = f"{data_folder}/peptide_ensemble/input/peptide1/peptide1.xtc"
+
+— keeps working. Call `regenerate()` to rebuild from scratch.
+"""
+
+import os as _os
+
+from deep_cartograph_tpu.utils.demo_data import (  # noqa: F401
+    DATASETS,
+    materialize,
+)
+
+_ROOT = _os.path.dirname(_os.path.abspath(__file__))
+
+
+def regenerate() -> None:
+    """Force-regenerate every demo dataset in place."""
+    materialize(_ROOT, force=True)
+
+
+materialize(_ROOT)

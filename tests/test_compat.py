@@ -180,3 +180,57 @@ def test_reference_import_paths_drop_in():
     assert callable(read_features_list) and callable(read_colvars)
     assert callable(RMSD) and callable(get_features_list)
     assert PDBTopologyMapper is not None and CVCalculator is not None
+
+
+def test_data_package_drop_in(tmp_path):
+    """`from deep_cartograph import data` works like the reference's bundled
+    data package: same dataset directories/naming, generated on import
+    (deep_cartograph_tpu/utils/demo_data.py) instead of committed binaries."""
+    import importlib.resources as resources
+
+    from deep_cartograph import data
+
+    folder = str(resources.files(data))
+    for name in data.DATASETS:
+        assert os.path.isdir(os.path.join(folder, name)), name
+
+    # reference-style path resolution into a dataset
+    traj = os.path.join(folder, "peptide_ensemble", "input", "peptide1",
+                        "peptide1.xtc")
+    top = os.path.join(folder, "peptide_ensemble", "input", "peptide1",
+                       "peptide1.pdb")
+    assert os.path.exists(traj) and os.path.exists(top)
+
+    # the generated trajectory actually featurizes end-to-end
+    from deep_cartograph_tpu.tools.compute_features import compute_features
+
+    out = compute_features(
+        configuration={
+            "plumed_settings": {
+                "traj_stride": 1,
+                "features": {
+                    "distance_groups": {
+                        "d": {
+                            "first_selection": "name CA",
+                            "second_selection": "name CA",
+                            "first_stride": 1,
+                            "second_stride": 1,
+                            "skip_neigh_residues": True,
+                            "skip_bonded_atoms": False,
+                        }
+                    }
+                },
+            }
+        },
+        trajectory_data=[traj],
+        topology_data=[top],
+        output_folder=str(tmp_path / "cf"),
+    )
+    assert len(out) == 1 and os.path.exists(out[0])
+
+    # muller_brown colvars parse as PLUMED text
+    from deep_cartograph_tpu.io.colvars import read_colvars
+
+    df = read_colvars(os.path.join(folder, "muller_brown", "px_py.dat"))
+    assert list(df.columns)[:3] == ["time", "p.x", "p.y"]
+    assert len(df) == 4000
