@@ -8,20 +8,25 @@ projected onto the learned CV next to the solution ensemble. If the peptide
 visits its bioactive conformation in solution, the supplementary frames land
 inside a populated basin of the solution FES.
 
-The reference notebook reads bundled xtc/pdb data for peptides 1/2/7; this
-port generates three bimodal-torsion peptides programmatically and uses the
+Inputs come from the drop-in `deep_cartograph.data` package exactly like
+the reference notebook (resources.files(data) / peptide_ensemble / input /
+peptideN) — the datasets are generated bimodal-torsion peptides with the
 second metastable state as each peptide's "active conformation".
 
 Run: python 2_peptide_ensemble.py    (writes ./output_peptide_ensemble/)
 """
 
+import importlib.resources as resources
 import os
 import shutil
 
 import numpy as np
 import pandas as pd
 
-from _common import banner, make_peptide_system
+from _common import banner  # noqa: F401  (sys.path setup)
+from deep_cartograph import data
+
+data_folder = str(resources.files(data))
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "output_peptide_ensemble")
@@ -54,31 +59,22 @@ FEATURE_SETS["all"] = {**FEATURE_SETS["torsions"], **FEATURE_SETS["distances"]}
 CVS = ["pca", "ae"]
 
 
-def make_active_conformation(system, folder: str) -> tuple:
-    """Extract the second metastable state's frames as the 'active
-    conformation' reference ensemble (stand-in for the reference's
-    active_conformation directory)."""
-    from deep_cartograph_tpu.io.dcd import write_dcd
-
-    os.makedirs(folder, exist_ok=True)
-    n = system.coords.shape[0]
-    active = system.coords[int(0.8 * n):]  # deep inside the second state
-    dcd = os.path.join(folder, "active_conformation.dcd")
-    write_dcd(dcd, active)
-    pdb = os.path.join(folder, "active_conformation.pdb")
-    shutil.copy(system.pdb_path, pdb)
-    return dcd, pdb
-
-
-def run_deep_cartograph(system_name: str, system, features: str) -> None:
+def run_deep_cartograph(system_name: str, features: str) -> None:
     from deep_cartograph_tpu.pipeline import deep_cartograph
 
     output_folder = os.path.join(OUT, system_name, features)
     if os.path.exists(output_folder):
         shutil.rmtree(output_folder)
 
-    active_dcd, active_pdb = make_active_conformation(
-        system, os.path.join(OUT, system_name, "input_active"))
+    # Input trajectory, topology, and active-conformation reference — the
+    # reference notebook's exact path scheme into the data package.
+    input_path = os.path.join(data_folder, "peptide_ensemble", "input",
+                              system_name)
+    traj_path = os.path.join(input_path, f"{system_name}.xtc")
+    top_path = os.path.join(input_path, f"{system_name}.pdb")
+    active = os.path.join(input_path, "active_conformation")
+    active_traj = os.path.join(active, "active_conformation.xtc")
+    active_pdb = os.path.join(active, "active_conformation.pdb")
 
     configuration = {
         "compute_features": {
@@ -124,9 +120,9 @@ def run_deep_cartograph(system_name: str, system, features: str) -> None:
 
     deep_cartograph(
         configuration=configuration,
-        trajectory_data=[system.dcd_path],
-        topology_data=[system.pdb_path],
-        supplementary_traj_data=[active_dcd],
+        trajectory_data=[traj_path],
+        topology_data=[top_path],
+        supplementary_traj_data=[active_traj],
         supplementary_top_data=[active_pdb],
         output_folder=output_folder,
     )
@@ -136,11 +132,11 @@ def show_results(system_name: str, features: str, model: str) -> None:
     """Where does the active-conformation ensemble land on the solution CV?"""
     out = os.path.join(OUT, system_name, features)
     main_csv = os.path.join(out, "train_colvars", model, "traj_data",
-                            "peptide", "projected_trajectory.csv")
+                            system_name, "projected_trajectory.csv")
     sup_csv = os.path.join(out, "traj_projection", model,
                            "active_conformation", "projected_trajectory.csv")
     if not (os.path.exists(main_csv) and os.path.exists(sup_csv)):
-        print(f"  {model}: projections missing under {base}")
+        print(f"  {model}: projections missing under {out}")
         return
     main = pd.read_csv(main_csv).iloc[:, 0].to_numpy()
     sup = pd.read_csv(sup_csv).iloc[:, 0].to_numpy()
@@ -153,19 +149,10 @@ def show_results(system_name: str, features: str, model: str) -> None:
 
 
 # ---------------------------------------------------------------------------
-systems = {
-    "peptide1": make_peptide_system(os.path.join(OUT, "peptide1", "input"),
-                                    n_residues=6, n_frames=160, seed=101),
-    "peptide2": make_peptide_system(os.path.join(OUT, "peptide2", "input"),
-                                    n_residues=7, n_frames=160, seed=102),
-    "peptide7": make_peptide_system(os.path.join(OUT, "peptide7", "input"),
-                                    n_residues=5, n_frames=160, seed=107),
-}
-
-for name, system in systems.items():
+for name in ("peptide1", "peptide2", "peptide7"):
     for features in ("torsions", "distances", "all"):
         banner(f"{name} / {features}")
-        run_deep_cartograph(name, system, features)
+        run_deep_cartograph(name, features)
         for model in CVS:
             show_results(name, features, model)
 
