@@ -110,6 +110,17 @@ def main() -> None:
         }
     except Exception:
         pass
+    if mem.get("hbm_peak_bytes") is None:
+        # The tunneled axon backend exposes no memory_stats; report the
+        # analytic resident-set bound of the streaming path instead: one
+        # (BLOCK, F) feature block + the per-subspace covariance
+        # accumulators (S x (F/S)^2 x 2 matrices) + a lag buffer.
+        sub_f = N_FEATURES // NUM_SUBSPACES
+        mem["hbm_estimate_bytes"] = int(
+            BLOCK * N_FEATURES * 4
+            + NUM_SUBSPACES * sub_f * sub_f * 2 * 4
+            + LAG * N_FEATURES * 4
+        )
 
     result = {
         "metric": "htica_100k_frames_x_50k_features_wallclock",
