@@ -353,8 +353,11 @@ def main() -> None:
     )
     features_dev = warm.pop("features")
 
+    # Best-of-3: the tunnel's upload bandwidth fluctuates ~2x run to run
+    # (measured 1.2-2.2 s for the same 58 MB of frames), and the TPU side
+    # is upload-dominated here.
     best = None
-    for _ in range(2):
+    for _ in range(3):
         r = tpu_pipeline()
         r.pop("features")
         if best is None or r["total"] < best["total"]:
@@ -364,17 +367,23 @@ def main() -> None:
         f"filter {best['t_filter']:.2f} / train {best['t_train']:.2f})"
     )
 
-    # Device-resident featurize rate (coords already in HBM) for MFU
+    # Device-resident featurize rate (coords already in HBM) for MFU.
+    # Dispatch overhead through the tunnel is ~2-3 ms per call — real device
+    # compute is ~1 ms per 20k-frame chunk — so the rate is measured over
+    # MANY back-to-back async dispatches and synced once (on PCIe-attached
+    # hosts dispatch is ~10 us and this distinction vanishes).
     dev_chunks = [
         jax.device_put(coords[c : c + CHUNK]) for c in range(0, N_FRAMES, CHUNK)
     ]
     _sync(dev_chunks)
+    reps = 10
     t_dev = float("inf")
     for _ in range(2):
         t0 = time.time()
-        outs = [feature_fn(c) for c in dev_chunks]
+        for _ in range(reps):
+            outs = [feature_fn(c) for c in dev_chunks]
         _sync(outs)
-        t_dev = min(t_dev, time.time() - t0)
+        t_dev = min(t_dev, (time.time() - t0) / reps)
     del dev_chunks, outs
 
     # ---- XLA-on-host-CPU featurize mirror (same program, CPU backend) ----
