@@ -346,3 +346,50 @@ def test_fit_ensemble_early_stop_freezes_per_try(rng):
     for res in results:
         # first check improves from inf, then `patience` bad checks -> stop
         assert len(res.metrics["epoch"]) == 4
+
+
+def test_fit_ensemble_with_plateau_scheduler(rng):
+    """ReduceLROnPlateau forces one epoch per dispatch in the ensemble and
+    scales each try's LR independently (per-try host-side plateau state)."""
+    import jax
+    import jax.numpy as jnp
+
+    full = _toy_data(rng, n=80)
+    seeds = [3, 4]
+    config = TrainerConfig(
+        batch_size=16,
+        max_epochs=12,
+        shuffle=False,
+        check_val_every_n_epoch=1,
+        early_stop_patience=100,
+        optimizer_name="Adam",
+        optimizer_kwargs={"lr": 0.05},
+        lr_scheduler={
+            "name": "ReduceLROnPlateau",
+            "kwargs": {"factor": 0.5, "patience": 2, "cooldown": 0,
+                       "start_epoch": 0},
+        },
+        device="cpu",
+    )
+    trainer = Trainer(_mse_loss(), config)
+    train_idx = np.tile(np.arange(64, dtype=np.int32), (2, 1))
+    valid_idx = np.tile(np.arange(64, 80, dtype=np.int32), (2, 1))
+    params_stack = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_init_params() for _ in seeds]
+    )
+    results = trainer.fit_ensemble(
+        params_stack, full, train_idx, valid_idx, seeds
+    )
+
+    # serial reference: identical per-try results under the same scheduler
+    for t, s in enumerate(seeds):
+        train = {k: v[train_idx[t]] for k, v in full.items()}
+        valid = {k: v[valid_idx[t]] for k, v in full.items()}
+        res_s = trainer.fit(_init_params(), train, valid, seed=s)
+        np.testing.assert_allclose(
+            results[t].metrics["valid_loss"], res_s.metrics["valid_loss"],
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            results[t].metrics["lr"], res_s.metrics["lr"], rtol=1e-5
+        )
