@@ -323,8 +323,9 @@ def main() -> None:
         trainer = trainers.setdefault(d_in, Trainer(loss_fn, config))
         full = {"data": x_t, "data_lag": x_lag}
         n_tot = int(x_t.shape[0])
+        n_valid = min(BATCH, n_tot)  # small BENCH_FRAMES: stay in range
         train_idx = np.arange(n_tot, dtype=np.int32)[None]
-        valid_idx = np.arange(n_tot - BATCH, n_tot, dtype=np.int32)[None]
+        valid_idx = np.arange(n_tot - n_valid, n_tot, dtype=np.int32)[None]
         params_stack = jax.tree.map(lambda a: a[None], params)
         t0 = time.time()
         result = trainer.fit_ensemble(

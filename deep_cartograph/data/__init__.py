@@ -15,6 +15,7 @@ the same directory layout and naming so reference-style resolution —
 — keeps working. Call `regenerate()` to rebuild from scratch.
 """
 
+import logging as _logging
 import os as _os
 
 from deep_cartograph_tpu.utils.demo_data import (  # noqa: F401
@@ -22,7 +23,9 @@ from deep_cartograph_tpu.utils.demo_data import (  # noqa: F401
     materialize,
 )
 
-_ROOT = _os.path.dirname(_os.path.abspath(__file__))
+_ROOT = _os.environ.get(
+    "DEEP_CARTO_DATA_DIR", _os.path.dirname(_os.path.abspath(__file__))
+)
 
 
 def regenerate() -> None:
@@ -30,4 +33,13 @@ def regenerate() -> None:
     materialize(_ROOT, force=True)
 
 
-materialize(_ROOT)
+try:
+    materialize(_ROOT)
+except OSError as _exc:  # read-only install (site-packages, container layer)
+    _logging.getLogger(__name__).warning(
+        "Could not generate the demo datasets under %s (%s). Set "
+        "DEEP_CARTO_DATA_DIR to a writable directory and re-import, or call "
+        "deep_cartograph.data.materialize(<dir>).",
+        _ROOT,
+        _exc,
+    )

@@ -42,6 +42,15 @@ def _wmean(values: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(values * weights) / jnp.maximum(jnp.sum(weights), 1e-12)
 
 
+def validation_never_improved(valid_losses) -> bool:
+    """True when no later validation loss beat the first one. (The
+    reference's condition `min(loss) > loss[0]`, cv_calculator.py:1644-1656,
+    is vacuously false — min(loss) <= loss[0] always — so its warning can
+    never fire.)"""
+    vl = list(valid_losses)
+    return len(vl) > 1 and min(vl[1:]) >= vl[0]
+
+
 class NonLinear(CVCalculator):
     """Base class for flax-based CV calculators."""
 
@@ -280,9 +289,9 @@ class NonLinear(CVCalculator):
             if result is None:
                 continue
             self._save_try_checkpoint(result, try_num)
-            # Soft convergence check (reference cv_calculator.py:1644-1656)
+            # Soft convergence check (see validation_never_improved)
             vl = (result.metrics or {}).get("valid_loss") or []
-            if vl and min(vl) > vl[0]:
+            if validation_never_improved(vl):
                 logger.warning(
                     "Try %d: validation loss did not decrease during training.",
                     try_num,

@@ -104,8 +104,16 @@ def read_xtc(
             consumed = lsize * 12
         else:
             # precision + minint*3 + maxint*3 + smallidx = 8 ints, then nbytes
+            if coord_off + 36 > len(data):
+                raise XTCError(
+                    f"Truncated XTC frame header at offset {off} in {path}"
+                )
             (nbytes,) = struct.unpack_from(">i", data, coord_off + 32)
             consumed = 36 + ((nbytes + 3) // 4) * 4
+        if coord_off + consumed > len(data):
+            raise XTCError(
+                f"Truncated XTC frame payload at offset {off} in {path}"
+            )
         if (
             index >= start
             and (stop is None or index < stop)

@@ -850,12 +850,16 @@ class Trainer:
                 valid_loss = vl_host[:, c]
                 beta = float(betas[c])
                 if cfg.lr_scheduler and cfg.lr_scheduler.get("name") == "OneCycleLR":
-                    # metric-only: the in-optimizer schedule value at this epoch
+                    # metric-only: the schedule value at the LAST optimizer
+                    # update of this epoch — the count inject_hyperparams
+                    # evaluated, i.e. exactly what fit() reads back from
+                    # opt_state.hyperparams after the epoch.
                     lr_arr = np.full(
                         T,
                         float(
                             self._optimizer_cache_lr(
-                                steps_per_epoch, (epoch + 1) * steps_per_epoch
+                                steps_per_epoch,
+                                (epoch + 1) * steps_per_epoch - 1,
                             )
                         ),
                     )
@@ -997,13 +1001,13 @@ class Trainer:
         return results
 
     def _optimizer_cache_lr(self, steps_per_epoch: int, step_count: int):
-        """OneCycle LR value at a given step (metrics-only reconstruction)."""
+        """OneCycle LR value at a given update index (metrics-only
+        reconstruction; no clamp — optax's schedule handles counts past
+        total the same way the in-optimizer evaluation does)."""
         cfg = self.config
         kwargs = dict(cfg.lr_scheduler.get("kwargs", {}))
         max_lr = kwargs.pop("max_lr", 1e-3)
         total = kwargs.pop("epochs", cfg.max_epochs) * kwargs.pop(
             "steps_per_epoch", steps_per_epoch
         )
-        return one_cycle_schedule(max_lr, total, **kwargs)(
-            min(step_count, total)
-        )
+        return one_cycle_schedule(max_lr, total, **kwargs)(step_count)

@@ -302,6 +302,39 @@ def feature_sharded_timelagged_ring(
     return c0, ctau, fp
 
 
+# Compiled sharded-KDE programs, keyed by (mesh devices, padded shape, grid
+# shape): compute_fes calls this once PER BOOTSTRAP BLOCK with identical
+# shapes — a fresh closure per call would recompile every block (minutes
+# through a remote-compile service).
+_SHARDED_KDE_CACHE: dict = {}
+
+
+def _get_sharded_kde(mesh: Mesh, x_shape, g_shape):
+    key = (tuple(d.id for d in mesh.devices.flat), x_shape, g_shape)
+    if key in _SHARDED_KDE_CACHE:
+        return _SHARDED_KDE_CACHE[key]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(), P()),
+        out_specs=P(),
+    )
+    def kde(xs, wt, grid, inv_two_bw2):
+        d2 = jnp.sum(
+            (grid[:, None, :] - xs[None, :, :]) ** 2, axis=-1
+        )  # (grid, local_samples)
+        logk = -d2 * inv_two_bw2 + jnp.where(wt > 0, 0.0, -jnp.inf)[None, :]
+        lse_local = jax.scipy.special.logsumexp(logk, axis=1)
+        m = jax.lax.pmax(lse_local, FRAME_AXIS)
+        total = jax.lax.psum(jnp.exp(lse_local - m), FRAME_AXIS)
+        return m + jnp.log(total)
+
+    fn = jax.jit(kde)
+    _SHARDED_KDE_CACHE[key] = fn
+    return fn
+
+
 def sharded_kde_logdensity(
     samples: np.ndarray,
     grid_points: np.ndarray,
@@ -330,23 +363,8 @@ def sharded_kde_logdensity(
     x_d = jax.device_put(xp, sharding)
     w_d = jax.device_put(w, sharding)
     g_d = jax.device_put(g, NamedSharding(mesh, P()))
-    inv_two_bw2 = 1.0 / (2.0 * bandwidth * bandwidth)
+    inv_two_bw2 = jnp.float32(1.0 / (2.0 * bandwidth * bandwidth))
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P()),
-        out_specs=P(),
-    )
-    def kde(xs, wt, grid):
-        d2 = jnp.sum(
-            (grid[:, None, :] - xs[None, :, :]) ** 2, axis=-1
-        )  # (grid, local_samples)
-        logk = -d2 * inv_two_bw2 + jnp.where(wt > 0, 0.0, -jnp.inf)[None, :]
-        lse_local = jax.scipy.special.logsumexp(logk, axis=1)
-        m = jax.lax.pmax(lse_local, FRAME_AXIS)
-        total = jax.lax.psum(jnp.exp(lse_local - m), FRAME_AXIS)
-        return m + jnp.log(total)
-
-    lse = jax.jit(kde)(x_d, w_d, g_d)
+    fn = _get_sharded_kde(mesh, xp.shape, g.shape)
+    lse = fn(x_d, w_d, g_d, inv_two_bw2)
     return np.asarray(lse) - np.log(n)

@@ -143,3 +143,25 @@ def test_xtc_batch_decode_matches_serial(tmp_path):
     # slicing semantics identical through the indexed path
     sliced = read_xtc(path, start=3, stop=20, stride=4)
     np.testing.assert_array_equal(sliced, batch[3:20:4])
+
+
+def test_xtc_truncated_file_raises_xtcerror(tmp_path):
+    """Truncated XTC files raise the documented XTCError from the frame-table
+    walk, not a raw struct.error."""
+    import pytest as _pytest
+
+    from deep_cartograph_tpu.io.xtc import XTCError, read_xtc, write_xtc
+
+    rng = np.random.default_rng(1)
+    coords = (rng.standard_normal((6, 40, 3)) * 4).astype(np.float32)
+    path = str(tmp_path / "full.xtc")
+    write_xtc(path, coords)
+    data = open(path, "rb").read()
+
+    # cut inside a later frame's compressed header region
+    for cut in (len(data) - 5, len(data) // 2 + 60):
+        trunc = str(tmp_path / f"trunc_{cut}.xtc")
+        with open(trunc, "wb") as fh:
+            fh.write(data[:cut])
+        with _pytest.raises(XTCError):
+            read_xtc(trunc)

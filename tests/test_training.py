@@ -393,3 +393,54 @@ def test_fit_ensemble_with_plateau_scheduler(rng):
         np.testing.assert_allclose(
             results[t].metrics["lr"], res_s.metrics["lr"], rtol=1e-5
         )
+
+
+def test_validation_never_improved_predicate():
+    """The soft convergence warning's predicate (the reference's own
+    `min(loss) > loss[0]` can never fire; ours can)."""
+    from deep_cartograph_tpu.cv.deep import validation_never_improved
+
+    assert validation_never_improved([5.0, 6.0, 7.0])      # got worse
+    assert validation_never_improved([5.0, 5.0, 5.0])      # flat
+    assert not validation_never_improved([5.0, 4.0, 6.0])  # improved once
+    assert not validation_never_improved([5.0])            # single check
+    assert not validation_never_improved([])
+
+
+def test_fit_ensemble_onecycle_lr_metric_matches_serial(rng):
+    """The ensemble's reconstructed OneCycle lr metric equals the serial
+    path's opt_state readback at every validation epoch."""
+    import jax
+    import jax.numpy as jnp
+
+    full = _toy_data(rng, n=96)
+    seeds = [7]
+    config = TrainerConfig(
+        batch_size=32,
+        max_epochs=12,
+        shuffle=False,
+        check_val_every_n_epoch=1,
+        early_stop_patience=100,
+        optimizer_name="Adam",
+        optimizer_kwargs={"lr": 1e-3},
+        lr_scheduler={"name": "OneCycleLR", "kwargs": {"max_lr": 0.05}},
+        device="cpu",
+    )
+    trainer = Trainer(_mse_loss(), config)
+    train_idx = np.arange(64, dtype=np.int32)[None]
+    valid_idx = np.arange(64, 96, dtype=np.int32)[None]
+    params_stack = jax.tree.map(lambda a: a[None], _init_params())
+    res_e = trainer.fit_ensemble(
+        params_stack, full, train_idx, valid_idx, seeds
+    )[0]
+    res_s = trainer.fit(
+        _init_params(),
+        {k: v[train_idx[0]] for k, v in full.items()},
+        {k: v[valid_idx[0]] for k, v in full.items()},
+        seed=seeds[0],
+    )
+    np.testing.assert_allclose(res_e.metrics["lr"], res_s.metrics["lr"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        res_e.metrics["valid_loss"], res_s.metrics["valid_loss"], rtol=1e-5
+    )
