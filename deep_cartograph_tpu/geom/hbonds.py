@@ -122,6 +122,7 @@ def analyze_residue_hbonds(
     donors_sel: Optional[str] = None,
     hydrogens_sel: Optional[str] = None,
     acceptors_sel: Optional[str] = None,
+    remove_pbc: bool = False,
 ) -> Tuple["pd.DataFrame", int]:
     """H-bonds between two selections along a trajectory.
 
@@ -140,6 +141,17 @@ def analyze_residue_hbonds(
 
     topology = parse_pdb(topology_file)
     coords = read_traj(trajectory_file, topology_file)  # (F, N, 3) Angstrom
+    if remove_pbc:
+        # Unwrap molecules across the box and re-center (the notebook's
+        # remove_pbc flag; same transform stack as traj preparation).
+        from deep_cartograph_tpu.geom.pbc import prepare_frames
+        from deep_cartograph_tpu.io.boxes import read_box
+
+        box = read_box(trajectory_file)
+        bonds = topology.guess_bonds(
+            box=box[0] if box is not None else None
+        )
+        coords = prepare_frames(coords, box, bonds)
     n_frames = coords.shape[0]
 
     donors, hydrogens, acceptors = hbond_triplets(

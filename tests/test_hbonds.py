@@ -120,3 +120,24 @@ def test_barcode_plot(tmp_path):
     plot_multibond_barcode({"A-B": df}, total_frames=5, dt=0.5,
                            title="test", file_path=png)
     assert os.path.getsize(png) > 0
+
+
+def test_analyze_with_remove_pbc(tmp_path):
+    """remove_pbc=True runs the unwrap/center preparation (warns and
+    passes through when the trajectory has no box) — the notebook's
+    remove_pbc parameter."""
+    system = make_backbone_system(str(tmp_path), n_residues=4, n_frames=8,
+                                  seed=9)
+    df_raw, n1 = analyze_residue_hbonds(
+        topology_file=system.pdb_path,
+        trajectory_file=system.dcd_path,
+        first_selection="resid 2",
+        second_selection="resid 3",
+        d_a_cutoff=6.0,
+        d_h_a_angle_cutoff=30.0,
+        donors_sel="name N",
+        hydrogens_sel="name H",
+        acceptors_sel="name O",
+        remove_pbc=True,
+    )
+    assert n1 == 8  # boxless DCD: preparation is a no-op, analysis runs
