@@ -234,3 +234,28 @@ def test_data_package_drop_in(tmp_path):
     df = read_colvars(os.path.join(folder, "muller_brown", "px_py.dat"))
     assert list(df.columns)[:3] == ["time", "p.x", "p.y"]
     assert len(df) == 4000
+
+
+def test_data_dir_override_and_regenerate(tmp_path, monkeypatch):
+    """DEEP_CARTO_DATA_DIR points dataset generation at a writable location
+    (read-only installs); materialize() is idempotent via markers."""
+    import importlib
+    import sys
+
+    from deep_cartograph_tpu.utils.demo_data import DATASETS, materialize
+
+    target = str(tmp_path / "data_override")
+    materialize(target)
+    marker = os.path.join(target, "muller_brown", ".generated")
+    assert os.path.exists(marker)
+    before = os.path.getmtime(marker)
+    materialize(target)  # second call: skipped, marker untouched
+    assert os.path.getmtime(marker) == before
+
+    monkeypatch.setenv("DEEP_CARTO_DATA_DIR", str(tmp_path / "env_dir"))
+    sys.modules.pop("deep_cartograph.data", None)
+    mod = importlib.import_module("deep_cartograph.data")
+    assert mod._ROOT == str(tmp_path / "env_dir")
+    for name in DATASETS:
+        assert os.path.isdir(os.path.join(mod._ROOT, name))
+    sys.modules.pop("deep_cartograph.data", None)  # leave clean for others
