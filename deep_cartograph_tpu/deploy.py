@@ -51,6 +51,27 @@ class FramesToCV:
         project = self._device_projection()
         self._jitted = jax.jit(lambda coords: project(feature_fn(coords)))
 
+        # Multi-chip serving: frame-shard every batch over the mesh
+        # automatically (same policy as geom.engine.ShardedChunkEvaluator).
+        self._sharding = None
+        try:
+            n_dev = len(jax.devices())
+        except RuntimeError:
+            n_dev = 1
+        if n_dev > 1:
+            from deep_cartograph_tpu.parallel.mesh import (
+                frame_sharding,
+                get_mesh,
+            )
+
+            mesh = get_mesh()
+            self._n_devices = int(mesh.devices.size)
+            self._sharding = frame_sharding(mesh)
+            self._jitted_sharded = jax.jit(
+                lambda coords: project(feature_fn(coords)),
+                out_shardings=self._sharding,
+            )
+
     def _device_projection(self) -> Callable:
         calc = self.calculator
         if isinstance(calc, LinearCalculator):
@@ -100,6 +121,16 @@ class FramesToCV:
 
     def __call__(self, coords: np.ndarray) -> np.ndarray:
         """(C, A, 3) Angstrom frames -> (C, cv_dimension) CV values."""
+        if self._sharding is not None:
+            from deep_cartograph_tpu.parallel.mesh import pad_to_multiple
+
+            padded, n = pad_to_multiple(
+                np.asarray(coords, np.float32), self._n_devices
+            )
+            out = self._jitted_sharded(
+                jax.device_put(padded, self._sharding)
+            )
+            return np.asarray(out)[:n]
         return np.asarray(self._jitted(jnp.asarray(coords, jnp.float32)))
 
     def device_fn(self) -> Callable:

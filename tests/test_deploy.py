@@ -66,3 +66,29 @@ def test_frames_to_cv_from_model_zip(trained, ca_system, tmp_path):
     )
     fused = pipeline(ca_system.coords)
     np.testing.assert_allclose(fused, projection.to_numpy(), atol=5e-3)
+
+
+def test_frames_to_cv_auto_shards_multi_device(trained, ca_system, tmp_path):
+    """On multi-device backends FramesToCV shards the serving batch's frame
+    axis over the mesh automatically, with identical values (incl. uneven
+    batch sizes needing edge padding)."""
+    import jax
+    import jax.numpy as jnp
+
+    root, labels, colvars, features = trained
+    calc = cv_calculators_map["pca"](
+        configuration=base_config(), output_path=str(tmp_path)
+    )
+    calc.load_training_data([colvars], [ca_system.pdb_path],
+                            features_list=labels)
+    assert calc.run() is not None
+
+    assert len(jax.devices()) > 1
+    pipe = FramesToCV(calc, Topology.from_pdb(ca_system.pdb_path))
+    assert pipe._sharding is not None
+
+    coords = ca_system.coords[:29]  # 29 % 8 != 0: pad path
+    sharded_out = pipe(coords)
+    single_out = np.asarray(pipe._jitted(jnp.asarray(coords, jnp.float32)))
+    assert sharded_out.shape == single_out.shape
+    np.testing.assert_allclose(sharded_out, single_out, atol=1e-6)
