@@ -21,11 +21,14 @@ over atoms.
 
 from __future__ import annotations
 
+import logging
 import os
 import struct
 from typing import Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 class DCDError(ValueError):
@@ -83,6 +86,17 @@ def read_dcd_header(path: str) -> Tuple[int, int, bool, str, int]:
             frame_bytes += 4 + 48 + 4
         body = os.path.getsize(path) - header_size
         n_frames = body // frame_bytes
+        if body % frame_bytes:
+            # Partial trailing frame: killed run / interrupted copy. The
+            # complete frames are still readable — say so instead of
+            # silently dropping the tail.
+            logger.warning(
+                "%s ends mid-frame (%d stray bytes); reading the %d "
+                "complete frames.",
+                path,
+                body % frame_bytes,
+                n_frames,
+            )
         if n_frames_hdr > 0:
             n_frames = min(n_frames, n_frames_hdr) if body % frame_bytes else n_frames
         return n_atoms, int(n_frames), has_cell, endian, header_size

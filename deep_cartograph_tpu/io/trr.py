@@ -20,6 +20,8 @@ class TRRError(ValueError):
 
 
 def _xdr_string(data: bytes, off: int):
+    if off + 4 > len(data):
+        raise TRRError(f"Truncated TRR string field at offset {off}")
     (n,) = struct.unpack_from(">i", data, off)
     off += 4
     # XDR strings in trn files are written as length (incl. NUL) + padded bytes
@@ -29,11 +31,15 @@ def _xdr_string(data: bytes, off: int):
 
 
 def _read_frame_header(data: bytes, off: int):
+    if off + 4 > len(data):
+        raise TRRError(f"Truncated TRR frame header at offset {off}")
     (magic,) = struct.unpack_from(">i", data, off)
     if magic != _MAGIC:
         raise TRRError(f"Bad TRR magic {magic} at offset {off}")
     off += 4
     _, off = _xdr_string(data, off)
+    if off + 13 * 4 > len(data):
+        raise TRRError(f"Truncated TRR frame header at offset {off}")
     ints = struct.unpack_from(">13i", data, off)
     off += 13 * 4
     (
@@ -87,6 +93,10 @@ def read_trr(
         natoms = header["natoms"]
         if header["x_size"]:
             take = (stop is None or idx < stop) and idx >= start and (idx - start) % stride == 0
+            if off + header["x_size"] > len(data):
+                raise TRRError(
+                    f"Truncated TRR coordinate payload at offset {off} in {path}"
+                )
             if take:
                 x = np.frombuffer(data, dtype=dt, count=natoms * 3, offset=off)
                 frames.append(

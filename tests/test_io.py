@@ -197,3 +197,34 @@ def test_colvars_start_stop_stride(tmp_path):
     np.testing.assert_allclose(
         df["dist-@CA_1-@CA_3"].to_numpy(), [20.0, 60.0, 100.0, 140.0]
     )
+
+
+def test_truncated_binary_trajectories(tmp_path):
+    """Truncated binary trajectories fail loudly (TRR raises TRRError) or
+    degrade explicitly (DCD reads the complete frames with a warning) —
+    never a raw struct error."""
+    import pytest as _pytest
+
+    from deep_cartograph_tpu.io.dcd import read_dcd, write_dcd
+    from deep_cartograph_tpu.io.trr import TRRError, read_trr, write_trr
+
+    rng = np.random.default_rng(2)
+    coords = (rng.standard_normal((6, 30, 3)) * 4).astype(np.float32)
+
+    trr = str(tmp_path / "t.trr")
+    write_trr(trr, coords)
+    data = open(trr, "rb").read()
+    for cut in (len(data) - 7, len(data) // 2 + 13):
+        trunc = str(tmp_path / f"t_{cut}.trr")
+        open(trunc, "wb").write(data[:cut])
+        with _pytest.raises(TRRError):
+            read_trr(trunc)
+
+    dcd = str(tmp_path / "t.dcd")
+    write_dcd(dcd, coords)
+    data = open(dcd, "rb").read()
+    trunc = str(tmp_path / "t_cut.dcd")
+    open(trunc, "wb").write(data[: len(data) - 7])
+    out = read_dcd(trunc)  # one partial frame dropped, warning logged
+    assert out.shape[0] == 5
+    np.testing.assert_allclose(out, coords[:5], atol=1e-6)
