@@ -259,3 +259,39 @@ def test_data_dir_override_and_regenerate(tmp_path, monkeypatch):
     for name in DATASETS:
         assert os.path.isdir(os.path.join(mod._ROOT, name))
     sys.modules.pop("deep_cartograph.data", None)  # leave clean for others
+
+
+REFERENCE_ROOT = "/root/reference/deep_cartograph"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_ROOT),
+                    reason="reference checkout not mounted")
+@pytest.mark.parametrize("rel, modname", [
+    ("modules/md/md.py", "deep_cartograph.modules.md"),
+    ("modules/common/common.py", "deep_cartograph.modules.common"),
+    ("modules/statistics/statistics.py", "deep_cartograph.modules.statistics"),
+    ("modules/figures/figures.py", "deep_cartograph.modules.figures"),
+    ("modules/bio/bio.py", "deep_cartograph.modules.bio"),
+    ("modules/plumed/colvars.py", "deep_cartograph.modules.plumed.colvars"),
+    ("modules/plumed/command.py", "deep_cartograph.modules.plumed.command"),
+])
+def test_compat_surface_covers_reference_module(rel, modname):
+    """Every PUBLIC function/class of the reference module exists on the
+    drop-in compat module (automated version of the API-parity audit)."""
+    import ast
+    import importlib
+    import warnings
+
+    src = os.path.join(REFERENCE_ROOT, rel)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SyntaxWarning)
+        tree = ast.parse(open(src).read())
+    public = [
+        n.name
+        for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+        and not n.name.startswith("_")
+    ]
+    mod = importlib.import_module(modname)
+    missing = [p for p in public if not hasattr(mod, p)]
+    assert not missing, f"{modname} missing reference API: {missing}"
