@@ -274,6 +274,8 @@ REFERENCE_ROOT = "/root/reference/deep_cartograph"
     ("modules/bio/bio.py", "deep_cartograph.modules.bio"),
     ("modules/plumed/colvars.py", "deep_cartograph.modules.plumed.colvars"),
     ("modules/plumed/command.py", "deep_cartograph.modules.plumed.command"),
+    ("modules/cv_learning/cv_calculator.py",
+     "deep_cartograph.modules.cv_learning"),
 ])
 def test_compat_surface_covers_reference_module(rel, modname):
     """Every PUBLIC function/class of the reference module exists on the
