@@ -184,13 +184,20 @@ def iter_frame_chunks(
     topology_path: Optional[str] = None,
     stride: int = 1,
 ) -> Iterator[np.ndarray]:
-    """Yield (<=chunk, n_atoms, 3) arrays. DCD chunks are read lazily; other
+    """Yield (<=chunk, n_atoms, 3) arrays. DCD and XTC chunks decode lazily
+    on background threads (decode overlaps the caller's device work); other
     formats are loaded once and sliced."""
     suffix = Path(trajectory_path).suffix.lower()
     if suffix == ".dcd" and stride == 1:
         from deep_cartograph_tpu.io.dcd import iter_dcd_chunks_prefetch
 
         yield from iter_dcd_chunks_prefetch(trajectory_path, chunk)
+    elif suffix == ".xtc":
+        from deep_cartograph_tpu.io.xtc import iter_xtc_chunks_prefetch
+
+        yield from iter_xtc_chunks_prefetch(
+            trajectory_path, chunk, stride=stride
+        )
     elif suffix == ".dcd":
         from deep_cartograph_tpu.io.dcd import read_dcd, read_dcd_header
 

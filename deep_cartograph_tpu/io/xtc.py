@@ -70,27 +70,16 @@ def write_xtc(
             fh.write(out_buf[:n].tobytes())
 
 
-def read_xtc(
+def _index_frames(
+    data: bytes,
+    start: int,
+    stop: Optional[int],
+    stride: int,
     path: str,
-    start: int = 0,
-    stop: Optional[int] = None,
-    stride: int = 1,
-) -> np.ndarray:
-    """Read coordinates as (n_frames, n_atoms, 3) float32 Angstroms.
-
-    Two passes: the frame table is walked WITHOUT decompression (header
-    fields give every payload size), then all selected frames decode in
-    parallel through the native OpenMP batch kernel
-    (xdrcodec.cpp xtc_decompress_frames_batch) — frames are independent
-    bit streams. Falls back to serial per-frame decode for tiny
-    uncompressed frames or when the native batch symbol is absent."""
-    lib = _lib()
-    with open(path, "rb") as fh:
-        data = fh.read()
-    buf = np.frombuffer(data, np.uint8)
-
-    # Pass 1: index the frame table (no decompression)
-    selected: List[tuple] = []  # (coord_off, lsize)
+) -> List[tuple]:
+    """Walk the frame table WITHOUT decompression (header fields give every
+    payload size); return [(coord_off, lsize)] for the selected frames."""
+    selected: List[tuple] = []
     off = 0
     index = 0
     while off + 56 <= len(data):
@@ -124,7 +113,102 @@ def read_xtc(
         index += 1
         if stop is not None and index >= stop:
             break
+    return selected
 
+
+def _batch_decode(lib, data: bytes, buf: np.ndarray, selected: List[tuple],
+                  natoms: int) -> np.ndarray:
+    """OpenMP batch decode of the selected (uniform-natoms) frames."""
+    offsets = np.asarray([o for o, _ in selected], np.int64)
+    out = np.empty((len(selected), natoms, 3), np.float32)
+    rc = lib.xtc_decompress_frames_batch(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_long(len(data)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        len(selected),
+        natoms,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc < 0:
+        raise XTCError(f"XTC batch decompression failed (code {rc})")
+    return out * np.float32(_NM_TO_ANGSTROM)
+
+
+def iter_xtc_chunks_prefetch(
+    path: str,
+    chunk: int,
+    stride: int = 1,
+    prefetch_depth: int = 2,
+):
+    """Yield (<=chunk, n_atoms, 3) float32 Angstrom arrays with chunk decode
+    running on a background thread (the OpenMP batch kernel releases the
+    GIL), so host decompression overlaps the caller's device work — the XTC
+    counterpart of the native DCD prefetch loader. Memory stays bounded at
+    the compressed file + prefetch_depth decoded chunks."""
+    import queue
+    import threading
+
+    lib = _lib()
+    with open(path, "rb") as fh:
+        data = fh.read()
+    buf = np.frombuffer(data, np.uint8)
+    selected = _index_frames(data, 0, None, stride, path)
+    if not selected:
+        raise XTCError(f"No frames read from {path}")
+    lsizes = {l for _, l in selected}
+    if len(lsizes) != 1 or next(iter(lsizes)) <= 9 or not hasattr(
+        lib, "xtc_decompress_frames_batch"
+    ):
+        # tiny/irregular frames: decode everything once, then slice
+        coords = read_xtc(path, stride=stride)
+        for s in range(0, coords.shape[0], chunk):
+            yield coords[s : s + chunk]
+        return
+    natoms = next(iter(lsizes))
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch_depth))
+
+    def worker():
+        try:
+            for s in range(0, len(selected), chunk):
+                q.put(_batch_decode(lib, data, buf, selected[s : s + chunk],
+                                    natoms))
+            q.put(None)
+        except BaseException as exc:  # surface decode errors to the consumer
+            q.put(exc)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    thread.join()
+
+
+def read_xtc(
+    path: str,
+    start: int = 0,
+    stop: Optional[int] = None,
+    stride: int = 1,
+) -> np.ndarray:
+    """Read coordinates as (n_frames, n_atoms, 3) float32 Angstroms.
+
+    Two passes: the frame table is walked WITHOUT decompression (header
+    fields give every payload size), then all selected frames decode in
+    parallel through the native OpenMP batch kernel
+    (xdrcodec.cpp xtc_decompress_frames_batch) — frames are independent
+    bit streams. Falls back to serial per-frame decode for tiny
+    uncompressed frames or when the native batch symbol is absent."""
+    lib = _lib()
+    with open(path, "rb") as fh:
+        data = fh.read()
+    buf = np.frombuffer(data, np.uint8)
+
+    selected = _index_frames(data, start, stop, stride, path)
     if not selected:
         raise XTCError(f"No frames read from {path}")
 
@@ -135,20 +219,7 @@ def read_xtc(
         and hasattr(lib, "xtc_decompress_frames_batch")
     ):
         # Pass 2: all frames at once, OpenMP-parallel
-        natoms = next(iter(lsizes))
-        offsets = np.asarray([o for o, _ in selected], np.int64)
-        out = np.empty((len(selected), natoms, 3), np.float32)
-        rc = lib.xtc_decompress_frames_batch(
-            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.c_long(len(data)),
-            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-            len(selected),
-            natoms,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
-        if rc < 0:
-            raise XTCError(f"XTC batch decompression failed (code {rc})")
-        return out * np.float32(_NM_TO_ANGSTROM)
+        return _batch_decode(lib, data, buf, selected, next(iter(lsizes)))
 
     # Serial fallback (tiny uncompressed frames / no batch symbol)
     frames: List[np.ndarray] = []
