@@ -725,17 +725,63 @@ class Trainer:
         opt_state = jax.vmap(optimizer.init)(params_stack)
         params = params_stack
 
-        data_dev = {k: jnp.asarray(v) for k, v in full_data.items()}
+        # Multi-device backends with T divisible by the device count: shard
+        # the TRIES axis over the mesh — each device trains its slice of the
+        # seeded restarts with ZERO collectives (the dataset is replicated;
+        # per-try math is independent). The pod-scale shape of the
+        # reference's num_tries loop.
+        try_sharding = None
+        repl_sharding = None
+        try:
+            n_dev = len(jax.devices())
+        except RuntimeError:
+            n_dev = 1
+        if n_dev > 1 and T % n_dev == 0 and cfg.device != "cpu":
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from deep_cartograph_tpu.parallel.mesh import get_mesh
+
+            mesh = get_mesh()
+            try_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+            repl_sharding = NamedSharding(mesh, P())
+            params = jax.device_put(params, try_sharding)
+            opt_state = jax.device_put(opt_state, try_sharding)
+            logger.info(
+                "Sharding %d training tries over %d devices.", T, n_dev
+            )
+
+        def _place(arr):
+            """Replicate across the mesh in the try-sharded regime."""
+            a = jnp.asarray(arr)
+            return (
+                jax.device_put(a, repl_sharding)
+                if repl_sharding is not None
+                else a
+            )
+
+        def _place_tries(arr):
+            """Shard axis 0 (tries) when the try-sharded regime is active."""
+            a = jnp.asarray(arr)
+            return (
+                jax.device_put(a, try_sharding)
+                if try_sharding is not None
+                else a
+            )
+
+        data_dev = {k: _place(v) for k, v in full_data.items()}
         valid_dev = (
-            {k: jnp.asarray(v) for k, v in valid_data.items()}
+            {k: _place(v) for k, v in valid_data.items()}
             if valid_data is not None
             else data_dev
         )
         train_idx = np.asarray(train_idx, np.int32)
-        valid_idx_dev = jnp.asarray(valid_idx, np.int32)
+        valid_idx_dev = _place_tries(np.asarray(valid_idx, np.int32))
 
         np_rngs = [np.random.default_rng(s) for s in seeds]
-        keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+        keys = _place_tries(
+            jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+        )
 
         def select_tree(mask_host, new, old):
             mask = jnp.asarray(mask_host)
@@ -830,12 +876,12 @@ class Trainer:
                 params,
                 opt_state,
                 data_dev,
-                jnp.asarray(gbatches),
-                jnp.asarray(wstack),
+                _place_tries(gbatches),
+                _place_tries(wstack),
                 keys,
                 valid_idx_dev,
-                jnp.asarray(betas),
-                jnp.asarray(eval_mask),
+                _place(betas),
+                _place(eval_mask),
             )
             tl_host = np.asarray(tl, np.float64)  # (T, C)
             vl_host = np.asarray(vl, np.float64)  # (T, C)

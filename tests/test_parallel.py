@@ -342,3 +342,67 @@ def test_compute_fes_multi_device_path_matches(rng):
     )
     np.testing.assert_allclose(fes_sharded, fes_small, atol=1e-3)
     np.testing.assert_allclose(err_sharded, err_small, atol=1e-3)
+
+
+def test_fit_ensemble_shards_tries_over_devices(rng):
+    """With T divisible by the device count, the ensemble trainer shards the
+    TRIES axis over the mesh (each device trains its restarts, zero
+    collectives) and reproduces the serial per-seed results."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_cartograph_tpu.models.training import Trainer, TrainerConfig
+
+    n_dev = len(jax.devices())
+    assert n_dev > 1
+    T = n_dev  # divisible -> try-sharded regime
+    seeds = list(range(1, T + 1))
+
+    full = {"data": rng.standard_normal((96, 4)).astype(np.float32)}
+    config = TrainerConfig(
+        batch_size=16,
+        max_epochs=8,
+        shuffle=True,
+        check_val_every_n_epoch=1,
+        early_stop_patience=100,
+        optimizer_name="Adam",
+        optimizer_kwargs={"lr": 0.05},
+        device="default",  # stay on the (virtual) multi-device backend
+    )
+
+    def loss_fn(params, batch, rng_, beta):
+        pred = batch["data"] @ params["w"]
+        target = jnp.sum(batch["data"], axis=1, keepdims=True)
+        err = jnp.mean((pred - target) ** 2, axis=1)
+        w = batch["weight"]
+        return jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1e-9), {}
+
+    def init():
+        return {"w": jnp.zeros((4, 1), jnp.float32)}
+
+    trainer = Trainer(loss_fn, config)
+    train_rows, valid_rows = [], []
+    for s in seeds:
+        order = np.random.default_rng(s).permutation(96)
+        train_rows.append(order[:80])
+        valid_rows.append(order[80:])
+    train_idx = np.asarray(train_rows, np.int32)
+    valid_idx = np.asarray(valid_rows, np.int32)
+    params_stack = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[init() for _ in seeds]
+    )
+    results = trainer.fit_ensemble(
+        params_stack, full, train_idx, valid_idx, seeds
+    )
+
+    # serial reference for two of the tries
+    for t in (0, T - 1):
+        train = {k: v[train_idx[t]] for k, v in full.items()}
+        valid = {k: v[valid_idx[t]] for k, v in full.items()}
+        res_s = trainer.fit(init(), train, valid, seed=seeds[t])
+        np.testing.assert_allclose(results[t].score, res_s.score, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(results[t].params["w"]),
+            np.asarray(res_s.params["w"]),
+            rtol=1e-5, atol=1e-7,
+        )
