@@ -52,3 +52,66 @@ def test_read_features_list(tmp_path):
         "dist-@CA_1-@CA_3",
         "tor-@A_1-@B_2-@C_3-@D_4",
     ]
+
+
+def test_plumed_analysis_command_builders():
+    """Legacy ALPHABETA sin/cos proxies and the FES-analysis action builders
+    (reference command.py parity surface)."""
+    from deep_cartograph_tpu.plumed import command as cmd
+
+    assert cmd.sin_old("s1", ["@CA-1", "@CA-2", "@CA-3", "@CA-4"]) == (
+        "s1: ALPHABETA ATOMS1=@CA-1,@CA-2,@CA-3,@CA-4 REFERENCE=-1.5708\n"
+    )
+    assert cmd.cos_old("c1", ["@CA-1", "@CA-2", "@CA-3", "@CA-4"]) == (
+        "c1: ALPHABETA ATOMS1=@CA-1,@CA-2,@CA-3,@CA-4 REFERENCE=0\n"
+    )
+    dg = cmd.dumpgrid(["hist"], "fes.dat", stride=500)
+    assert dg.startswith("DUMPGRID GRID=hist FILE=fes.dat") and "STRIDE=500" in dg
+    fes = cmd.convert_to_fes("fes", ["hist"], temp=300.0)
+    assert fes == "fes: CONVERT_TO_FES GRID=hist TEMP=300.0 MINTOZERO\n"
+    rw = cmd.reweight_bias("w", ["opes.bias"], temp=300.0)
+    assert rw == "w: REWEIGHT_BIAS ARG=opes.bias TEMP=300.0\n"
+
+
+def test_common_misc_helpers(tmp_path):
+    """remove_dirs, write_as_csv time-axis continuation, and
+    create_dataset_from_dataframe column filtering."""
+    import pandas as pd
+
+    from deep_cartograph_tpu.utils.common import (
+        create_dataset_from_dataframe,
+        remove_dirs,
+        write_as_csv,
+    )
+
+    d = tmp_path / "gone"
+    d.mkdir()
+    (d / "f.txt").write_text("x")
+    remove_dirs(str(d), str(tmp_path / "never_existed"))
+    assert not d.exists()
+
+    # write_as_csv: appends continuing the time axis (ns -> ps)
+    path = str(tmp_path / "colvars.dat")
+    df = pd.DataFrame({"time": [0.0, 0.001, 0.002], "a": [1.0, 2.0, 3.0]})
+    write_as_csv(df, path)
+    write_as_csv(df, path)  # second call drops the repeated t=0 sample
+    lines = open(path).read().splitlines()
+    assert lines[0] == "#! FIELDS time a"
+    times = [float(l.split()[0]) for l in lines[1:]]
+    assert times == sorted(times) and len(times) == 5
+    assert times[-1] == 4.0  # 2 ps + 2 ps continuation
+
+    mat = create_dataset_from_dataframe(
+        pd.DataFrame({"time": [0.0], "dist-a": [1.0], "opes.bias": [9.0],
+                      "labels": [1], "walker_id": [0]})
+    )
+    assert mat.shape == (1, 1)  # only the feature column survives
+
+
+def test_stage_timer_logs_and_times(tmp_path, monkeypatch):
+    import time as _time
+
+    from deep_cartograph_tpu.utils.profiling import stage_timer
+
+    with stage_timer("unit test stage"):
+        _time.sleep(0.01)
