@@ -8,6 +8,10 @@ setup(
         "collective variables (JAX/XLA/Pallas)"
     ),
     packages=find_packages(include=["deep_cartograph_tpu*", "deep_cartograph*"]),
+    package_data={
+        "deep_cartograph_tpu": ["log_config/*.ini", "native/*.cpp",
+                                "default_config.yml"],
+    },
     python_requires=">=3.10",
     entry_points={
         "console_scripts": [
