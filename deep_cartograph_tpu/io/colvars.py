@@ -26,13 +26,75 @@ logger = logging.getLogger(__name__)
 # (cf. reference colvars.py:93, 407).
 NON_FEATURE_REGEX = "^(?!.*labels)^(?!.*time)^(?!.*bias)^(?!.*walker)"
 
+# ---------------------------------------------------------------------------
+# Same-run memory cache: the pipeline writes colvars text (the reference's
+# inter-step contract) and the very next steps read those files back — at
+# production scale that text round trip costs more than the device compute
+# (measured: 37 s write + 14 s parse per read for 100k x 1171 on one core).
+# write_colvars caches the matrix QUANTIZED to the written precision, so a
+# cached read equals a file read; entries are validated against the file's
+# (mtime_ns, size) and evicted LRU past the byte cap. Restartability is
+# untouched: the files are still written, and a fresh process parses them.
+# Disable with DEEP_CARTO_COLVARS_CACHE_BYTES=0.
+# ---------------------------------------------------------------------------
+from collections import OrderedDict  # noqa: E402
+
+_MEM_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
+_MEM_CACHE_CAP_BYTES = int(
+    os.environ.get("DEEP_CARTO_COLVARS_CACHE_BYTES", 2 * 2**30)
+)
+
+
+def _cache_put(path: str, names: List[str], matrix: np.ndarray) -> None:
+    if _MEM_CACHE_CAP_BYTES <= 0:
+        return
+    key = os.path.abspath(path)
+    try:
+        stat = os.stat(key)
+    except OSError:
+        return
+    matrix = np.ascontiguousarray(matrix, np.float32)
+    if matrix.nbytes > _MEM_CACHE_CAP_BYTES:
+        return
+    _MEM_CACHE[key] = (stat.st_mtime_ns, stat.st_size, list(names), matrix)
+    _MEM_CACHE.move_to_end(key)
+    total = sum(v[3].nbytes for v in _MEM_CACHE.values())
+    while total > _MEM_CACHE_CAP_BYTES and len(_MEM_CACHE) > 1:
+        _, evicted = _MEM_CACHE.popitem(last=False)
+        total -= evicted[3].nbytes
+
+
+def _cache_get(path: str):
+    key = os.path.abspath(path)
+    hit = _MEM_CACHE.get(key)
+    if hit is None:
+        return None
+    try:
+        stat = os.stat(key)
+    except OSError:
+        _MEM_CACHE.pop(key, None)
+        return None
+    if (stat.st_mtime_ns, stat.st_size) != (hit[0], hit[1]):
+        _MEM_CACHE.pop(key, None)
+        return None
+    _MEM_CACHE.move_to_end(key)
+    return hit[2], hit[3]
+
+
+def clear_memory_cache() -> None:
+    _MEM_CACHE.clear()
+
 
 def read_column_names(colvars_path: str, features_only: bool = False) -> List[str]:
     """Column names from the '#! FIELDS' header (cf. reference colvars.py:62-98)."""
-    with open(colvars_path) as fh:
-        first_line = fh.readline()
-    parts = first_line.split()
-    names = parts[2:]
+    hit = _cache_get(colvars_path)
+    if hit is not None:
+        names = list(hit[0])
+    else:
+        with open(colvars_path) as fh:
+            first_line = fh.readline()
+        parts = first_line.split()
+        names = parts[2:]
     if features_only:
         names = [n for n in names if re.search(NON_FEATURE_REGEX, n)]
     return names
@@ -43,10 +105,17 @@ def _load_matrix(colvars_path: str) -> np.ndarray:
 
     Uses the OpenMP C++ parser (native/colvars_io.cpp) when available —
     ~10x numpy.loadtxt on production-size files — with numpy fallback.
+    Files written by this process in the same run are served from the
+    memory cache (values identical to a file parse — quantized at write).
     """
     import ctypes
 
     from deep_cartograph_tpu.native.build import load_native
+
+    hit = _cache_get(colvars_path)
+    if hit is not None:
+        # copy: callers may hand the matrix to pandas or mutate slices
+        return hit[1].copy()
 
     lib = load_native()
     if lib is not None and hasattr(lib, "colvars_parse"):
@@ -319,7 +388,22 @@ def write_colvars(
             with open(path, "wb") as fh:
                 fh.write((header + "\n").encode())
                 fh.write(out.raw[:n])
+            # round in float64: matches printf's decimal conversion
+            # exactly (float32-space rounding drifts on ~3% of values)
+            _cache_put(
+                path, column_names,
+                np.round(data.astype(np.float64), decimals).astype(
+                    np.float32
+                ),
+            )
             return
     with open(path, "w") as fh:
         fh.write(header + "\n")
         np.savetxt(fh, np.asarray(data), fmt=fmt, delimiter=" ")
+    if m and data.ndim == 2:
+        _cache_put(
+            path, column_names,
+            np.round(data.astype(np.float64), int(m.group(1))).astype(
+                np.float32
+            ),
+        )

@@ -257,3 +257,35 @@ def test_iter_xtc_chunks_prefetch_matches_read(tmp_path):
     # routed through the generic iterator (the featurization engine's entry)
     via_traj = np.concatenate(list(iter_frame_chunks(path, 16)))
     np.testing.assert_array_equal(via_traj, full)
+
+
+def test_colvars_memory_cache_equals_file_parse(tmp_path):
+    """Same-run reads of files we wrote come from the memory cache with
+    values IDENTICAL to a cold file parse (quantized at write); external
+    modification invalidates the entry."""
+    from deep_cartograph_tpu.io import colvars as cv
+
+    rng = np.random.default_rng(7)
+    data = np.column_stack(
+        [np.arange(500, dtype=np.float32),
+         rng.standard_normal((500, 40)).astype(np.float32)]
+    )
+    names = ["time"] + [f"f{i}" for i in range(40)]
+    path = str(tmp_path / "colvars.dat")
+
+    cv.clear_memory_cache()
+    cv.write_colvars(path, data, names, fmt="%.6f")
+    assert cv._cache_get(path) is not None  # populated at write
+
+    cached = cv._load_matrix(path)
+    cv.clear_memory_cache()
+    parsed = cv._load_matrix(path)  # cold parse of the real file
+    np.testing.assert_array_equal(cached, parsed)
+
+    # re-populate, then modify the file externally -> cache must invalidate
+    cv.write_colvars(path, data, names, fmt="%.6f")
+    with open(path, "a") as fh:
+        fh.write(" ".join(["1.0"] * 41) + "\n")
+    fresh = cv._load_matrix(path)
+    assert fresh.shape[0] == 501  # saw the appended row, not the cache
+    cv.clear_memory_cache()
