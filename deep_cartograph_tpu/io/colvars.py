@@ -375,19 +375,22 @@ def write_colvars(
         decimals = int(m.group(1))
         rows, cols = data.shape
         capacity = rows * cols * (decimals + 16) + 1024
-        out = ctypes.create_string_buffer(capacity)
+        # np.empty: unlike ctypes.create_string_buffer this does NOT zero
+        # the (gigabyte-scale) buffer, and memoryview slicing writes the
+        # formatted bytes without an extra copy.
+        out = np.empty(capacity, np.uint8)
         n = lib.colvars_format(
             data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             rows,
             cols,
             decimals,
-            out,
+            out.ctypes.data_as(ctypes.c_char_p),
             capacity,
         )
         if n >= 0:
             with open(path, "wb") as fh:
                 fh.write((header + "\n").encode())
-                fh.write(out.raw[:n])
+                fh.write(memoryview(out)[:n])
             # round in float64: matches printf's decimal conversion
             # exactly (float32-space rounding drifts on ~3% of values)
             _cache_put(
