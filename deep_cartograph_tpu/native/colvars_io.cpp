@@ -41,6 +41,44 @@ long count_rows(const char* buf, long size, long* body_start) {
     return rows;
 }
 
+// Fast strtof for fixed-decimal tokens ("-12.3456"): when the digit string
+// fits a < 2^24 mantissa with <= 10 fractional digits, float(mantissa) and
+// float(10^d) are both EXACT in float32, so their correctly-rounded float32
+// division equals strtof's correctly-rounded decimal conversion —
+// byte-provable equality, ~5x faster. Anything else (exponents, long
+// mantissas, inf/nan) falls back to strtof.
+inline float fast_strtof(const char* p, char** end) {
+    const char* s = p;
+    while (*s == ' ' || *s == '\t') ++s;
+    const char* tok = s;
+    bool neg = false;
+    if (*s == '-') { neg = true; ++s; }
+    else if (*s == '+') ++s;
+    uint32_t mant = 0;
+    int digits = 0, frac = 0;
+    while (*s >= '0' && *s <= '9') {
+        mant = mant * 10u + uint32_t(*s - '0');
+        ++digits; ++s;
+        if (digits > 8) return strtof(tok, end);
+    }
+    if (*s == '.') {
+        ++s;
+        while (*s >= '0' && *s <= '9') {
+            mant = mant * 10u + uint32_t(*s - '0');
+            ++digits; ++frac; ++s;
+            if (digits > 8) return strtof(tok, end);
+        }
+    }
+    if (digits == 0 || mant >= (1u << 24) || *s == 'e' || *s == 'E' ||
+        *s == 'x' || *s == 'X' || *s == '.')
+        return strtof(tok, end);
+    static const float POW10[11] = {1e0f, 1e1f, 1e2f, 1e3f, 1e4f, 1e5f,
+                                    1e6f, 1e7f, 1e8f, 1e9f, 1e10f};
+    float v = float(mant) / POW10[frac];
+    *end = const_cast<char*>(s);
+    return neg ? -v : v;
+}
+
 }  // namespace
 
 extern "C" {
@@ -79,7 +117,7 @@ long colvars_parse(const char* buf, long size, long cols, float* out,
         const char* p = buf + line_offsets[r];
         char* end;
         for (long c = 0; c < cols; ++c) {
-            float v = strtof(p, &end);
+            float v = fast_strtof(p, &end);
             if (end == p) {
                 ok = false;
                 v = 0.0f;
