@@ -136,6 +136,11 @@ def _placed_blocks(features: np.ndarray):
 
     from deep_cartograph_tpu.utils.device import SMALL_WORK_ELEMENTS
 
+    if isinstance(features, jax.Array):
+        # already on device: block along features without leaving it
+        for block in _feature_blocks(features):
+            yield block, block.shape[1]
+        return
     arr = np.asarray(features)
     shard = arr.size >= SMALL_WORK_ELEMENTS and len(jax.devices()) > 1
     for block in _feature_blocks(arr):
@@ -147,29 +152,50 @@ def _placed_blocks(features: np.ndarray):
 
 def shannon_entropy(features: np.ndarray, num_bins: int = 100) -> np.ndarray:
     """Per-feature entropy, rounded to 3 decimals like the reference.
-    Feature-blocked for matrices larger than the per-dispatch budget; small
-    host inputs run on the host CPU (remote compile latency dominates);
-    large inputs on multi-device backends shard the feature axis."""
-    from deep_cartograph_tpu.utils.device import maybe_cpu
+    Feature-blocked for matrices larger than the per-dispatch budget.
+    Routing is TRANSFER-AWARE for host-resident input: this is an O(1)
+    work-per-element op, so the device only wins when uploading the matrix
+    beats just computing on the host (never through a slow tunnel, usually
+    on PCIe); device-resident inputs stay put."""
+    from deep_cartograph_tpu.utils.device import maybe_cpu_for_host_data
 
-    with maybe_cpu(np.asarray(features).size):
+    arr = features if _is_device_array(features) else np.asarray(features)
+    ctx = (
+        __import__("contextlib").nullcontext()
+        if _is_device_array(features)
+        else maybe_cpu_for_host_data(arr.size, arr.nbytes, host_rate=1e8)
+    )
+    with ctx:
         parts = [
             np.asarray(_entropy_all(block, num_bins))[:f]
-            for block, f in _placed_blocks(features)
+            for block, f in _placed_blocks(arr)
         ]
     return np.round(np.concatenate(parts), 3)
 
 
 def standard_deviation(features: np.ndarray) -> np.ndarray:
-    """Per-feature std, rounded to 3 decimals like the reference."""
-    from deep_cartograph_tpu.utils.device import maybe_cpu
+    """Per-feature std, rounded to 3 decimals like the reference.
+    Transfer-aware routing, like shannon_entropy."""
+    from deep_cartograph_tpu.utils.device import maybe_cpu_for_host_data
 
-    with maybe_cpu(np.asarray(features).size):
+    arr = features if _is_device_array(features) else np.asarray(features)
+    ctx = (
+        __import__("contextlib").nullcontext()
+        if _is_device_array(features)
+        else maybe_cpu_for_host_data(arr.size, arr.nbytes, host_rate=4e8)
+    )
+    with ctx:
         parts = [
             np.asarray(_std_all(block))[:f]
-            for block, f in _placed_blocks(features)
+            for block, f in _placed_blocks(arr)
         ]
     return np.round(np.concatenate(parts), 3)
+
+
+def _is_device_array(x) -> bool:
+    import jax
+
+    return isinstance(x, jax.Array)
 
 
 def dip_pvalues(features: np.ndarray) -> np.ndarray:
