@@ -361,9 +361,20 @@ class CVCalculator(ABC):
         )
         self.projection_data_labels = colvars_df.pop("traj_label").to_numpy()
         data = colvars_df.to_numpy(dtype=np.float32)
-        from deep_cartograph_tpu.utils.device import maybe_cpu
+        # Projection is low-intensity over HOST data (a few hundred flops
+        # per uploaded element at most): route by transfer cost, not just
+        # element count — through a slow tunnel the host matmul wins.
+        from deep_cartograph_tpu.utils.device import (
+            SMALL_WORK_ELEMENTS,
+            maybe_cpu_for_host_data,
+        )
 
-        with maybe_cpu(float(data.size) * 100):
+        with maybe_cpu_for_host_data(
+            float(data.size),
+            data.nbytes,
+            host_rate=2e7,  # ~a few GFLOP/s host / ~100 flops per element
+            threshold=SMALL_WORK_ELEMENTS / 100,
+        ):
             projected = self.project_data(data)
         return pd.DataFrame(np.asarray(projected), columns=self.cv_labels)
 
