@@ -379,26 +379,44 @@ def write_colvars(
         # the (gigabyte-scale) buffer, and memoryview slicing writes the
         # formatted bytes without an extra copy.
         out = np.empty(capacity, np.uint8)
-        n = lib.colvars_format(
-            data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            rows,
-            cols,
-            decimals,
-            out.ctypes.data_as(ctypes.c_char_p),
-            capacity,
-        )
+        roundtrip = None
+        if hasattr(lib, "colvars_format_rt") and _MEM_CACHE_CAP_BYTES > 0:
+            # the formatter also returns, per value, the float32 a reader
+            # will parse from the emitted token — exact by construction
+            roundtrip = np.empty((rows, cols), np.float32)
+            n = lib.colvars_format_rt(
+                data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                rows,
+                cols,
+                decimals,
+                out.ctypes.data_as(ctypes.c_char_p),
+                capacity,
+                roundtrip.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+        else:
+            n = lib.colvars_format(
+                data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                rows,
+                cols,
+                decimals,
+                out.ctypes.data_as(ctypes.c_char_p),
+                capacity,
+            )
         if n >= 0:
             with open(path, "wb") as fh:
                 fh.write((header + "\n").encode())
                 fh.write(memoryview(out)[:n])
-            # round in float64: matches printf's decimal conversion
-            # exactly (float32-space rounding drifts on ~3% of values)
-            _cache_put(
-                path, column_names,
-                np.round(data.astype(np.float64), decimals).astype(
-                    np.float32
-                ),
-            )
+            if roundtrip is not None:
+                _cache_put(path, column_names, roundtrip)
+            else:
+                # round in float64: matches printf's decimal conversion
+                # (float32-space rounding drifts on ~3% of values)
+                _cache_put(
+                    path, column_names,
+                    np.round(data.astype(np.float64), decimals).astype(
+                        np.float32
+                    ),
+                )
             return
     with open(path, "w") as fh:
         fh.write(header + "\n")

@@ -100,6 +100,13 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
         ]
+        if hasattr(lib, "colvars_format_rt"):
+            lib.colvars_format_rt.restype = ctypes.c_long
+            lib.colvars_format_rt.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+                ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_float),
+            ]
     if hasattr(lib, "dcd_open"):
         lib.dcd_open.restype = ctypes.c_void_p
         lib.dcd_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]

@@ -173,9 +173,12 @@ static inline int format_fixed(char* p, double v, int decimals,
 
 // Format rows*cols floats with `decimals` fixed decimals, space-separated,
 // into per-thread buffers, then concatenate into `out` (caller-sized).
+// When `roundtrip` is non-null it receives, per value, the float32 a
+// reader will parse from the emitted text (the write-side half of the
+// same-run colvars memory cache).
 // Returns bytes written, or -1 if out_capacity is insufficient.
-long colvars_format(const float* data, long rows, long cols, int decimals,
-                    char* out, long out_capacity) {
+long colvars_format_rt(const float* data, long rows, long cols, int decimals,
+                       char* out, long out_capacity, float* roundtrip) {
     int n_threads = 1;
 #ifdef _OPENMP
     n_threads = omp_get_max_threads();
@@ -194,8 +197,14 @@ long colvars_format(const float* data, long rows, long cols, int decimals,
             for (long c = 0; c < cols; ++c) {
                 if (p >= cap_end) return -1;
                 if (c) *p++ = ' ';
+                char* tok = p;
                 p += format_fixed(p, double(data[r * cols + c]), decimals,
                                   scale, fmt);
+                if (roundtrip) {
+                    char* e;
+                    *p = '\0';  // bound the token for the re-parse
+                    roundtrip[r * cols + c] = fast_strtof(tok, &e);
+                }
             }
             *p++ = '\n';
         }
@@ -227,8 +236,14 @@ long colvars_format(const float* data, long rows, long cols, int decimals,
             for (long r = r0; r < r1; ++r) {
                 for (long c = 0; c < cols; ++c) {
                     if (c) *p++ = ' ';
+                    char* tok = p;
                     p += format_fixed(p, double(data[r * cols + c]),
                                       decimals, scale, fmt);
+                    if (roundtrip) {
+                        char* e;
+                        *p = '\0';
+                        roundtrip[r * cols + c] = fast_strtof(tok, &e);
+                    }
                 }
                 *p++ = '\n';
             }
@@ -247,6 +262,13 @@ long colvars_format(const float* data, long rows, long cols, int decimals,
         }
     }
     return total;
+}
+
+// Back-compat symbol (no roundtrip output).
+long colvars_format(const float* data, long rows, long cols, int decimals,
+                    char* out, long out_capacity) {
+    return colvars_format_rt(data, rows, cols, decimals, out, out_capacity,
+                             nullptr);
 }
 
 }  // extern "C"
