@@ -408,15 +408,11 @@ def write_colvars(
                 fh.write(memoryview(out)[:n])
             if roundtrip is not None:
                 _cache_put(path, column_names, roundtrip)
-            else:
-                # round in float64: matches printf's decimal conversion
-                # (float32-space rounding drifts on ~3% of values)
-                _cache_put(
-                    path, column_names,
-                    np.round(data.astype(np.float64), decimals).astype(
-                        np.float32
-                    ),
-                )
+            # without the round-trip output the cache would only hold an
+            # APPROXIMATION of the file's values (float64 np.round can
+            # differ from printf by 1 ulp on rounding-boundary cases) —
+            # skip caching rather than risk cached-run vs restarted-run
+            # divergence; cold reads parse the file.
             return
     with open(path, "w") as fh:
         fh.write(header + "\n")

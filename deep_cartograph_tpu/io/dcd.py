@@ -86,6 +86,8 @@ def read_dcd_header(path: str) -> Tuple[int, int, bool, str, int]:
             frame_bytes += 4 + 48 + 4
         body = os.path.getsize(path) - header_size
         n_frames = body // frame_bytes
+        if n_frames_hdr > 0 and body % frame_bytes:
+            n_frames = min(n_frames, n_frames_hdr)
         if body % frame_bytes:
             # Partial trailing frame: killed run / interrupted copy. The
             # complete frames are still readable — say so instead of
@@ -97,8 +99,6 @@ def read_dcd_header(path: str) -> Tuple[int, int, bool, str, int]:
                 body % frame_bytes,
                 n_frames,
             )
-        if n_frames_hdr > 0:
-            n_frames = min(n_frames, n_frames_hdr) if body % frame_bytes else n_frames
         return n_atoms, int(n_frames), has_cell, endian, header_size
 
 

@@ -134,6 +134,31 @@ def _batch_decode(lib, data: bytes, buf: np.ndarray, selected: List[tuple],
     return out * np.float32(_NM_TO_ANGSTROM)
 
 
+def _decode_frames_serial(lib, data: bytes, buf: np.ndarray,
+                          selected: List[tuple]) -> np.ndarray:
+    """Per-frame decode of the selected frames (tiny uncompressed frames and
+    the no-batch-symbol fallback)."""
+    frames: List[np.ndarray] = []
+    for coord_off, lsize in selected:
+        if lsize <= 9:
+            frame = np.frombuffer(
+                data, dtype=">f4", count=lsize * 3, offset=coord_off
+            ).reshape(lsize, 3)
+            frames.append((frame * _NM_TO_ANGSTROM).astype(np.float32))
+        else:
+            out = np.empty((lsize, 3), np.float32)
+            consumed = lib.xtc_decompress_coords(
+                buf[coord_off:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(data) - coord_off,
+                lsize,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            if consumed < 0:
+                raise XTCError(f"XTC decompression failed (code {consumed})")
+            frames.append(out * _NM_TO_ANGSTROM)
+    return np.stack(frames)
+
+
 def iter_xtc_chunks_prefetch(
     path: str,
     chunk: int,
@@ -159,34 +184,59 @@ def iter_xtc_chunks_prefetch(
     if len(lsizes) != 1 or next(iter(lsizes)) <= 9 or not hasattr(
         lib, "xtc_decompress_frames_batch"
     ):
-        # tiny/irregular frames: decode everything once, then slice
-        coords = read_xtc(path, stride=stride)
+        # tiny/irregular frames: decode the already-read bytes serially
+        # (no second read of the file), then slice into chunks
+        coords = _decode_frames_serial(lib, data, buf, selected)
         for s in range(0, coords.shape[0], chunk):
             yield coords[s : s + chunk]
         return
     natoms = next(iter(lsizes))
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch_depth))
+    stop = threading.Event()
 
     def worker():
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         try:
             for s in range(0, len(selected), chunk):
-                q.put(_batch_decode(lib, data, buf, selected[s : s + chunk],
-                                    natoms))
-            q.put(None)
+                if not put(
+                    _batch_decode(lib, data, buf, selected[s : s + chunk],
+                                  natoms)
+                ):
+                    return
+            put(None)
         except BaseException as exc:  # surface decode errors to the consumer
-            q.put(exc)
+            put(exc)
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    thread.join()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # Abandoned mid-iteration (timeout, break, error downstream): unblock
+        # and retire the worker so neither the thread nor the multi-GB file
+        # buffer outlives the generator.
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        thread.join(timeout=5.0)
 
 
 def read_xtc(
@@ -222,25 +272,7 @@ def read_xtc(
         return _batch_decode(lib, data, buf, selected, next(iter(lsizes)))
 
     # Serial fallback (tiny uncompressed frames / no batch symbol)
-    frames: List[np.ndarray] = []
-    for coord_off, lsize in selected:
-        if lsize <= 9:
-            frame = np.frombuffer(
-                data, dtype=">f4", count=lsize * 3, offset=coord_off
-            ).reshape(lsize, 3)
-            frames.append((frame * _NM_TO_ANGSTROM).astype(np.float32))
-        else:
-            out = np.empty((lsize, 3), np.float32)
-            consumed = lib.xtc_decompress_coords(
-                buf[coord_off:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                len(data) - coord_off,
-                lsize,
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            )
-            if consumed < 0:
-                raise XTCError(f"XTC decompression failed (code {consumed})")
-            frames.append(out * _NM_TO_ANGSTROM)
-    return np.stack(frames)
+    return _decode_frames_serial(lib, data, buf, selected)
 
 
 def count_xtc_frames(path: str) -> int:

@@ -686,10 +686,11 @@ class Trainer:
                 * T
             )
             ctx = maybe_cpu(work, threshold=2e9)
+        routed_cpu = not isinstance(ctx, contextlib.nullcontext)
         with ctx:
             return self._fit_ensemble(
                 params_stack, full_data, train_idx, valid_idx, seeds,
-                valid_data,
+                valid_data, routed_cpu=routed_cpu,
             )
 
     def _fit_ensemble(
@@ -700,6 +701,7 @@ class Trainer:
         valid_idx,
         seeds,
         valid_data=None,
+        routed_cpu: bool = False,
     ) -> List[TrainResult]:
         cfg = self.config
         T, n_train = train_idx.shape
@@ -736,7 +738,9 @@ class Trainer:
             n_dev = len(jax.devices())
         except RuntimeError:
             n_dev = 1
-        if n_dev > 1 and T % n_dev == 0 and cfg.device != "cpu":
+        # routed_cpu: the auto-router decided host CPU wins (small work on a
+        # remote backend) — an explicit device_put would override it.
+        if n_dev > 1 and T % n_dev == 0 and not routed_cpu:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
 

@@ -141,10 +141,13 @@ static inline int format_fixed(char* p, double v, int decimals,
     double scaled = v * scale;
     if (std::fabs(scaled) >= 9.0e18) return snprintf(p, 64, fmt, v);
     // Boundary guard: exact-decimal rounding and scaled-double rounding can
-    // disagree only when the exact product is ~0.5 mod 1 within double error.
+    // disagree only when the exact product is ~0.5 mod 1 within the double
+    // multiply's error (~1.1e-16 relative); 1e-14 relative gives a ~100x
+    // margin while keeping the fast path for large-magnitude values (a
+    // wider guard would route e.g. every 6-digit time stamp to snprintf).
     double frac = scaled - std::floor(scaled);
     double dist = std::fabs(frac - 0.5);
-    if (dist < 1e-9 * std::fabs(scaled) + 1e-12)
+    if (dist < 1e-14 * std::fabs(scaled) + 1e-12)
         return snprintf(p, 64, fmt, v);
     long long n = std::llround(scaled);
     char* start = p;

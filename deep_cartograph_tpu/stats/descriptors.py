@@ -8,6 +8,7 @@ ALL features in a single pass over one (frames, features) device array.
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 from typing import Dict, List, Optional
 
@@ -129,9 +130,12 @@ def _put_feature_sharded(block: np.ndarray):
     )
 
 
-def _placed_blocks(features: np.ndarray):
+def _placed_blocks(features: np.ndarray, allow_shard: bool = True):
     """(device_block, n_features) pairs: feature-sharded over the mesh for
-    large multi-device workloads, plain placement otherwise."""
+    large multi-device workloads, plain placement otherwise. allow_shard
+    False when the caller's transfer-aware routing already decided the
+    data must stay on the host — an explicit device_put would silently
+    override that decision."""
     import jax
 
     from deep_cartograph_tpu.utils.device import SMALL_WORK_ELEMENTS
@@ -142,7 +146,11 @@ def _placed_blocks(features: np.ndarray):
             yield block, block.shape[1]
         return
     arr = np.asarray(features)
-    shard = arr.size >= SMALL_WORK_ELEMENTS and len(jax.devices()) > 1
+    shard = (
+        allow_shard
+        and arr.size >= SMALL_WORK_ELEMENTS
+        and len(jax.devices()) > 1
+    )
     for block in _feature_blocks(arr):
         if shard:
             yield _put_feature_sharded(block)
@@ -160,15 +168,16 @@ def shannon_entropy(features: np.ndarray, num_bins: int = 100) -> np.ndarray:
     from deep_cartograph_tpu.utils.device import maybe_cpu_for_host_data
 
     arr = features if _is_device_array(features) else np.asarray(features)
-    ctx = (
-        __import__("contextlib").nullcontext()
-        if _is_device_array(features)
-        else maybe_cpu_for_host_data(arr.size, arr.nbytes, host_rate=1e8)
-    )
+    if _is_device_array(features):
+        ctx = contextlib.nullcontext()
+        routed_cpu = False
+    else:
+        ctx = maybe_cpu_for_host_data(arr.size, arr.nbytes, host_rate=1e8)
+        routed_cpu = not isinstance(ctx, contextlib.nullcontext)
     with ctx:
         parts = [
             np.asarray(_entropy_all(block, num_bins))[:f]
-            for block, f in _placed_blocks(arr)
+            for block, f in _placed_blocks(arr, allow_shard=not routed_cpu)
         ]
     return np.round(np.concatenate(parts), 3)
 
@@ -179,15 +188,16 @@ def standard_deviation(features: np.ndarray) -> np.ndarray:
     from deep_cartograph_tpu.utils.device import maybe_cpu_for_host_data
 
     arr = features if _is_device_array(features) else np.asarray(features)
-    ctx = (
-        __import__("contextlib").nullcontext()
-        if _is_device_array(features)
-        else maybe_cpu_for_host_data(arr.size, arr.nbytes, host_rate=4e8)
-    )
+    if _is_device_array(features):
+        ctx = contextlib.nullcontext()
+        routed_cpu = False
+    else:
+        ctx = maybe_cpu_for_host_data(arr.size, arr.nbytes, host_rate=4e8)
+        routed_cpu = not isinstance(ctx, contextlib.nullcontext)
     with ctx:
         parts = [
             np.asarray(_std_all(block))[:f]
-            for block, f in _placed_blocks(arr)
+            for block, f in _placed_blocks(arr, allow_shard=not routed_cpu)
         ]
     return np.round(np.concatenate(parts), 3)
 

@@ -289,3 +289,30 @@ def test_colvars_memory_cache_equals_file_parse(tmp_path):
     fresh = cv._load_matrix(path)
     assert fresh.shape[0] == 501  # saw the appended row, not the cache
     cv.clear_memory_cache()
+
+
+def test_iter_xtc_chunks_prefetch_abandonment_joins_worker(tmp_path):
+    """Abandoning the XTC chunk iterator mid-stream retires the background
+    decode thread (no leaked worker blocked on the queue)."""
+    import threading
+
+    from deep_cartograph_tpu.io.xtc import iter_xtc_chunks_prefetch, write_xtc
+
+    rng = np.random.default_rng(6)
+    coords = (rng.standard_normal((64, 24, 3)) * 4).astype(np.float32)
+    path = str(tmp_path / "abandon.xtc")
+    write_xtc(path, coords)
+
+    before = threading.active_count()
+    it = iter_xtc_chunks_prefetch(path, chunk=4, prefetch_depth=1)
+    first = next(it)
+    assert first.shape == (4, 24, 3)
+    it.close()  # GeneratorExit mid-stream
+    # worker must have exited (generous settle window for the join)
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        import time as _t
+
+        _t.sleep(0.1)
+    assert threading.active_count() <= before
