@@ -175,6 +175,10 @@ def get_num_frames(trajectory_path: str, topology_path: Optional[str] = None) ->
         from deep_cartograph_tpu.io.xtc import count_xtc_frames
 
         return count_xtc_frames(trajectory_path)
+    if suffix == ".trr":
+        from deep_cartograph_tpu.io.trr import count_trr_frames
+
+        return count_trr_frames(trajectory_path)
     return read_traj(trajectory_path, topology_path).shape[0]
 
 

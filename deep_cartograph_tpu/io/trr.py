@@ -73,6 +73,25 @@ def _read_frame_header(data: bytes, off: int):
     return header, off
 
 
+def count_trr_frames(path: str) -> int:
+    """Coordinate-frame count by walking the frame headers (payload sizes
+    from the header fields; no coordinate decoding)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    off = 0
+    count = 0
+    while off < len(data):
+        header, off = _read_frame_header(data, off)
+        off += (
+            header["ir_size"] + header["e_size"] + header["box_size"]
+            + header["vir_size"] + header["pres_size"] + header["x_size"]
+            + header["v_size"] + header["f_size"]
+        )
+        if header["x_size"]:
+            count += 1
+    return count
+
+
 def read_trr(
     path: str,
     start: int = 0,

@@ -316,3 +316,15 @@ def test_iter_xtc_chunks_prefetch_abandonment_joins_worker(tmp_path):
 
         _t.sleep(0.1)
     assert threading.active_count() <= before
+
+
+def test_count_trr_frames_header_walk(tmp_path):
+    from deep_cartograph_tpu.io.traj import get_num_frames
+    from deep_cartograph_tpu.io.trr import count_trr_frames, write_trr
+
+    rng = np.random.default_rng(8)
+    coords = (rng.standard_normal((17, 12, 3)) * 3).astype(np.float32)
+    path = str(tmp_path / "count.trr")
+    write_trr(path, coords)
+    assert count_trr_frames(path) == 17
+    assert get_num_frames(path) == 17
