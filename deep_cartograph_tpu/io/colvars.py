@@ -33,8 +33,10 @@ NON_FEATURE_REGEX = "^(?!.*labels)^(?!.*time)^(?!.*bias)^(?!.*walker)"
 # (measured: 37 s write + 14 s parse per read for 100k x 1171 on one core).
 # write_colvars caches the matrix QUANTIZED to the written precision, so a
 # cached read equals a file read; entries are validated against the file's
-# (mtime_ns, size) and evicted LRU past the byte cap. Restartability is
-# untouched: the files are still written, and a fresh process parses them.
+# (mtime_ns, size, inode, tail-bytes fingerprint) — the fingerprint catches
+# same-size rewrites by external tools within a coarse-mtime window — and
+# evicted LRU past the byte cap. Restartability is untouched: the files are
+# still written, and a fresh process parses them.
 # Disable with DEEP_CARTO_COLVARS_CACHE_BYTES=0.
 # ---------------------------------------------------------------------------
 from collections import OrderedDict  # noqa: E402
@@ -45,23 +47,37 @@ _MEM_CACHE_CAP_BYTES = int(
 )
 
 
+def _tail_fingerprint(path: str, size: int) -> bytes:
+    """Last <=64 bytes of the file — a cheap content check that catches
+    same-size rewrites landing within the filesystem's mtime granularity."""
+    with open(path, "rb") as fh:
+        if size > 64:
+            fh.seek(-64, os.SEEK_END)
+        return fh.read(64)
+
+
 def _cache_put(path: str, names: List[str], matrix: np.ndarray) -> None:
     if _MEM_CACHE_CAP_BYTES <= 0:
         return
     key = os.path.abspath(path)
     try:
         stat = os.stat(key)
+        tail = _tail_fingerprint(key, stat.st_size)
     except OSError:
         return
     matrix = np.ascontiguousarray(matrix, np.float32)
     if matrix.nbytes > _MEM_CACHE_CAP_BYTES:
         return
-    _MEM_CACHE[key] = (stat.st_mtime_ns, stat.st_size, list(names), matrix)
+    _MEM_CACHE[key] = (
+        (stat.st_mtime_ns, stat.st_size, stat.st_ino, tail),
+        list(names),
+        matrix,
+    )
     _MEM_CACHE.move_to_end(key)
-    total = sum(v[3].nbytes for v in _MEM_CACHE.values())
+    total = sum(v[2].nbytes for v in _MEM_CACHE.values())
     while total > _MEM_CACHE_CAP_BYTES and len(_MEM_CACHE) > 1:
         _, evicted = _MEM_CACHE.popitem(last=False)
-        total -= evicted[3].nbytes
+        total -= evicted[2].nbytes
 
 
 def _cache_get(path: str):
@@ -71,14 +87,15 @@ def _cache_get(path: str):
         return None
     try:
         stat = os.stat(key)
+        tail = _tail_fingerprint(key, stat.st_size)
     except OSError:
         _MEM_CACHE.pop(key, None)
         return None
-    if (stat.st_mtime_ns, stat.st_size) != (hit[0], hit[1]):
+    if (stat.st_mtime_ns, stat.st_size, stat.st_ino, tail) != hit[0]:
         _MEM_CACHE.pop(key, None)
         return None
     _MEM_CACHE.move_to_end(key)
-    return hit[2], hit[3]
+    return hit[1], hit[2]
 
 
 def clear_memory_cache() -> None:
@@ -374,7 +391,17 @@ def write_colvars(
     if lib is not None and hasattr(lib, "colvars_format") and m and data.ndim == 2:
         decimals = int(m.group(1))
         rows, cols = data.shape
-        capacity = rows * cols * (decimals + 16) + 1024
+        # Size for the data's actual magnitude (plus slack): tokens are
+        # sign + int-digits + '.' + decimals + separator. A NaN/Inf max
+        # routes to the generous fallback budget.
+        max_abs = float(np.max(np.abs(data), initial=0.0))
+        int_digits = (
+            int(np.floor(np.log10(max_abs))) + 2
+            if np.isfinite(max_abs) and max_abs >= 1.0
+            else 2 if np.isfinite(max_abs) else 40
+        )
+        per_value = max(decimals + int_digits + 4, decimals + 16)
+        capacity = rows * cols * per_value + 1024
         # np.empty: unlike ctypes.create_string_buffer this does NOT zero
         # the (gigabyte-scale) buffer, and memoryview slicing writes the
         # formatted bytes without an extra copy.
@@ -417,10 +444,7 @@ def write_colvars(
     with open(path, "w") as fh:
         fh.write(header + "\n")
         np.savetxt(fh, np.asarray(data), fmt=fmt, delimiter=" ")
-    if m and data.ndim == 2:
-        _cache_put(
-            path, column_names,
-            np.round(data.astype(np.float64), int(m.group(1))).astype(
-                np.float32
-            ),
-        )
+    # The same exactness contract applies here: np.round over float64 can
+    # differ from printf/strtof by 1 ulp on rounding-boundary cases, so a
+    # cached same-run read could diverge from a restarted run's file parse.
+    # Skip caching; cold reads parse the file (exact by definition).

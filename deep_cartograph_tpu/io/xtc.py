@@ -89,6 +89,13 @@ def _index_frames(
         lsize_off = off + 16 + 36
         (lsize,) = struct.unpack_from(">i", data, lsize_off)
         coord_off = lsize_off + 4
+        if lsize < 0:
+            # A corrupt negative lsize would make `consumed` negative and
+            # walk `off` backwards — a non-terminating loop, not an error.
+            raise XTCError(
+                f"Corrupt XTC frame header (lsize={lsize}) at offset "
+                f"{off} in {path}"
+            )
         if lsize <= 9:
             consumed = lsize * 12
         else:
@@ -98,6 +105,11 @@ def _index_frames(
                     f"Truncated XTC frame header at offset {off} in {path}"
                 )
             (nbytes,) = struct.unpack_from(">i", data, coord_off + 32)
+            if nbytes < 0:
+                raise XTCError(
+                    f"Corrupt XTC frame header (nbytes={nbytes}) at "
+                    f"offset {off} in {path}"
+                )
             consumed = 36 + ((nbytes + 3) // 4) * 4
         if coord_off + consumed > len(data):
             raise XTCError(

@@ -585,7 +585,7 @@ class Trainer:
             return self._compiled_cache[key]
         loss_fn = self.loss_fn
 
-        def one_chunk(params, opt_state, data, gbatches, weights, rng,
+        def one_chunk(params, opt_state, data, vdata, gbatches, weights, rng,
                       vidx, betas, eval_mask):
             # gbatches/weights: (chunk, steps, B); betas/eval_mask: (chunk,)
             def epoch_body(carry, xs):
@@ -624,7 +624,10 @@ class Trainer:
                 # check epochs — keeps the key stream identical to fit().
                 rng2, sub = jax.random.split(rng)
                 rng = jnp.where(do_eval, rng2, rng)
-                batch = {k: v[vidx] for k, v in data.items()}
+                # vidx indexes the VALIDATION source: full_data in the
+                # random-split case, the provided validation dict otherwise
+                # (cv/deep.py builds valid_idx = arange(n_valid) then).
+                batch = {k: v[vidx] for k, v in vdata.items()}
                 batch["weight"] = jnp.ones(n_valid, jnp.float32)
                 valid_loss, valid_aux = loss_fn(params, batch, sub, beta)
                 return (params, opt_state, rng), (
@@ -639,7 +642,7 @@ class Trainer:
 
         chunk_step = jax.jit(
             jax.vmap(
-                one_chunk, in_axes=(0, 0, None, 0, 0, 0, 0, None, None)
+                one_chunk, in_axes=(0, 0, None, None, 0, 0, 0, 0, None, None)
             )
         )
         self._compiled_cache[key] = chunk_step
@@ -880,6 +883,7 @@ class Trainer:
                 params,
                 opt_state,
                 data_dev,
+                valid_dev,
                 _place_tries(gbatches),
                 _place_tries(wstack),
                 keys,

@@ -135,11 +135,15 @@ long colvars_parse(const char* buf, long size, long cols, float* out,
 // sits within floating-point error of a .5 rounding boundary (where the
 // fast llround and printf's exact-decimal rounding could disagree), plus
 // NaN/Inf/overflow, fall back to snprintf. Returns bytes written.
+//
+// `cap` bounds every write (incl. the snprintf fallback). Inputs come from
+// float32 (|v| <= 3.4e38 -> <= 40 integer digits), so decimals + 48 always
+// fits; callers size buffers with that per-value budget.
 static inline int format_fixed(char* p, double v, int decimals,
-                               double scale, const char* fmt) {
-    if (!std::isfinite(v)) return snprintf(p, 64, fmt, v);
+                               double scale, const char* fmt, int cap) {
+    if (!std::isfinite(v)) return snprintf(p, size_t(cap), fmt, v);
     double scaled = v * scale;
-    if (std::fabs(scaled) >= 9.0e18) return snprintf(p, 64, fmt, v);
+    if (std::fabs(scaled) >= 9.0e18) return snprintf(p, size_t(cap), fmt, v);
     // Boundary guard: exact-decimal rounding and scaled-double rounding can
     // disagree only when the exact product is ~0.5 mod 1 within the double
     // multiply's error (~1.1e-16 relative); 1e-14 relative gives a ~100x
@@ -148,7 +152,7 @@ static inline int format_fixed(char* p, double v, int decimals,
     double frac = scaled - std::floor(scaled);
     double dist = std::fabs(frac - 0.5);
     if (dist < 1e-14 * std::fabs(scaled) + 1e-12)
-        return snprintf(p, 64, fmt, v);
+        return snprintf(p, size_t(cap), fmt, v);
     long long n = std::llround(scaled);
     char* start = p;
     if (std::signbit(v)) *p++ = '-';
@@ -190,8 +194,9 @@ long colvars_format_rt(const float* data, long rows, long cols, int decimals,
         // Single thread: format straight into the caller's buffer — skips
         // a rows*cols*(decimals+16) intermediate allocation and the final
         // memcpy (~3 GB of traffic at 100k x 1k scale).
+        const int budget = decimals + 48;  // worst-case token (see format_fixed)
         char* p = out;
-        char* cap_end = out + out_capacity - 64;
+        char* cap_end = out + out_capacity - (budget + 2);
         char fmt[16];
         snprintf(fmt, sizeof(fmt), "%%.%df", decimals);
         double scale = 1.0;
@@ -202,7 +207,7 @@ long colvars_format_rt(const float* data, long rows, long cols, int decimals,
                 if (c) *p++ = ' ';
                 char* tok = p;
                 p += format_fixed(p, double(data[r * cols + c]), decimals,
-                                  scale, fmt);
+                                  scale, fmt, budget);
                 if (roundtrip) {
                     char* e;
                     *p = '\0';  // bound the token for the re-parse
@@ -229,8 +234,10 @@ long colvars_format_rt(const float* data, long rows, long cols, int decimals,
         long r0 = t * rows_per_thread;
         long r1 = std::min(rows, r0 + rows_per_thread);
         if (r0 < r1) {
+            const int budget = decimals + 48;  // worst-case token incl.
+                                               // snprintf fallback
             auto& buf = buffers[t];
-            buf.resize(size_t(r1 - r0) * cols * (decimals + 16));
+            buf.resize(size_t(r1 - r0) * cols * size_t(budget + 2));
             char* p = buf.data();
             char fmt[16];
             snprintf(fmt, sizeof(fmt), "%%.%df", decimals);
@@ -241,7 +248,7 @@ long colvars_format_rt(const float* data, long rows, long cols, int decimals,
                     if (c) *p++ = ' ';
                     char* tok = p;
                     p += format_fixed(p, double(data[r * cols + c]),
-                                      decimals, scale, fmt);
+                                      decimals, scale, fmt, budget);
                     if (roundtrip) {
                         char* e;
                         *p = '\0';

@@ -315,6 +315,62 @@ def test_fit_ensemble_matches_serial(rng):
         )
 
 
+def test_fit_ensemble_provided_validation_matches_serial(rng):
+    """Provided-validation case (cv/deep.py: valid_idx = arange(n_valid)
+    into a SEPARATE validation dict): the device program must gather
+    validation rows from valid_data, not the training set. Regression for
+    the round-2 advisor finding (early stopping / model selection silently
+    used training rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    full = _toy_data(rng, n=96)
+    # Distinct validation set, longer than the training set would make the
+    # old index-clamping bug visible too.
+    valid = _toy_data(np.random.default_rng(999), n=40)
+    seeds = [21, 22]
+    config = TrainerConfig(
+        batch_size=32,
+        max_epochs=12,
+        shuffle=True,
+        check_val_every_n_epoch=1,
+        early_stop_patience=50,
+        optimizer_name="Adam",
+        optimizer_kwargs={"lr": 0.05},
+        device="cpu",
+    )
+    trainer = Trainer(_mse_loss(), config)
+
+    serial = [
+        trainer.fit(_init_params(), full, valid, seed=s) for s in seeds
+    ]
+
+    T = len(seeds)
+    train_idx = np.tile(np.arange(96, dtype=np.int32), (T, 1))
+    valid_idx = np.tile(np.arange(40, dtype=np.int32), (T, 1))
+    params_stack = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_init_params() for _ in seeds]
+    )
+    ensemble = trainer.fit_ensemble(
+        params_stack, full, train_idx, valid_idx, seeds, valid_data=valid
+    )
+
+    for res_s, res_e in zip(serial, ensemble):
+        assert res_e.best_epoch == res_s.best_epoch
+        assert res_e.description == res_s.description
+        np.testing.assert_allclose(res_e.score, res_s.score, rtol=1e-5)
+        np.testing.assert_allclose(
+            res_e.metrics["valid_loss"], res_s.metrics["valid_loss"],
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_e.params["w"]),
+            np.asarray(res_s.params["w"]),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+
+
 def test_fit_ensemble_early_stop_freezes_per_try(rng):
     """A try that hits patience stops updating its best/metrics while the
     others continue (per-try early-stopping semantics preserved)."""
