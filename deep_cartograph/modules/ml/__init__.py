@@ -1,5 +1,9 @@
-from deep_cartograph_tpu.models.training import (  # noqa: F401
+from .ml import *  # noqa: F401,F403
+from .ml import (  # noqa: F401
+    KLAAnnealing,
     KLAnnealing,
+    LROnPlateauManager,
+    PostAnnealingCheckpoint,
     ReduceLROnPlateau,
     Trainer,
 )

@@ -1,1 +1,6 @@
-from deep_cartograph_tpu.plumed.builder import *  # noqa: F401,F403
+"""Drop-in re-exports for reference modules/plumed/input/builder.py."""
+from deep_cartograph_tpu.plumed.builder import (  # noqa: F401
+    ComputeCVBuilder,
+    ComputeEnhancedSamplingBuilder,
+    ComputeFeaturesBuilder,
+)

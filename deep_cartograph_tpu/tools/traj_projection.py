@@ -184,9 +184,9 @@ class TrajProjectionWorkflow:
 def traj_projection(
     configuration: Dict,
     colvars_paths: List[str],
-    topologies: List[str],
-    model_paths: List[str],
+    topologies: Optional[List[str]] = None,
     trajectory_names: Optional[List[str]] = None,
+    model_paths: Optional[List[str]] = None,
     model_traj_paths: Optional[List[List[str]]] = None,
     output_folder: str = "traj_projection",
 ) -> Dict:

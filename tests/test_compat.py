@@ -274,8 +274,36 @@ REFERENCE_ROOT = "/root/reference/deep_cartograph"
     ("modules/bio/bio.py", "deep_cartograph.modules.bio"),
     ("modules/plumed/colvars.py", "deep_cartograph.modules.plumed.colvars"),
     ("modules/plumed/command.py", "deep_cartograph.modules.plumed.command"),
+    ("modules/plumed/cli.py", "deep_cartograph.modules.plumed.cli"),
+    ("modules/plumed/utils.py", "deep_cartograph.modules.plumed.utils"),
+    ("modules/plumed/input/assembler.py",
+     "deep_cartograph.modules.plumed.input.assembler"),
+    ("modules/plumed/input/builder.py",
+     "deep_cartograph.modules.plumed.input.builder"),
+    ("modules/features/common.py", "deep_cartograph.modules.features.common"),
+    ("modules/features/filter.py", "deep_cartograph.modules.features.filter"),
+    ("modules/features/translator.py",
+     "deep_cartograph.modules.features.translator"),
+    ("modules/ml/ml.py", "deep_cartograph.modules.ml.ml"),
     ("modules/cv_learning/cv_calculator.py",
      "deep_cartograph.modules.cv_learning"),
+    ("yaml_schemas/analyze_geometry.py",
+     "deep_cartograph.yaml_schemas.analyze_geometry"),
+    ("yaml_schemas/compute_features.py",
+     "deep_cartograph.yaml_schemas.compute_features"),
+    ("yaml_schemas/deep_cartograph.py",
+     "deep_cartograph.yaml_schemas.deep_cartograph"),
+    ("yaml_schemas/filter_features.py",
+     "deep_cartograph.yaml_schemas.filter_features"),
+    ("yaml_schemas/train_colvars.py",
+     "deep_cartograph.yaml_schemas.train_colvars"),
+    ("yaml_schemas/traj_augmentation.py",
+     "deep_cartograph.yaml_schemas.traj_augmentation"),
+    ("yaml_schemas/traj_cluster.py",
+     "deep_cartograph.yaml_schemas.traj_cluster"),
+    ("yaml_schemas/traj_projection.py",
+     "deep_cartograph.yaml_schemas.traj_projection"),
+    ("deep_carto.py", "deep_cartograph.deep_carto"),
 ])
 def test_compat_surface_covers_reference_module(rel, modname):
     """Every PUBLIC function/class of the reference module exists on the
@@ -297,3 +325,66 @@ def test_compat_surface_covers_reference_module(rel, modname):
     mod = importlib.import_module(modname)
     missing = [p for p in public if not hasattr(mod, p)]
     assert not missing, f"{modname} missing reference API: {missing}"
+
+
+TOOL_NAMES = [
+    "analyze_geometry",
+    "traj_augmentation",
+    "compute_features",
+    "filter_features",
+    "train_colvars",
+    "traj_projection",
+    "traj_cluster",
+    "align_trajectories",
+]
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_ROOT),
+                    reason="reference checkout not mounted")
+@pytest.mark.parametrize("tool", TOOL_NAMES)
+def test_tool_signature_superset(tool):
+    """Each compat tool entry accepts every parameter of the reference's
+    tool entry (by name), and every reference-optional parameter stays
+    optional — so reference call sites keep working verbatim."""
+    import importlib
+    import inspect
+
+    ref_ns: dict = {}
+    src = os.path.join(REFERENCE_ROOT, "tools", tool, f"{tool}.py")
+    # Parse rather than import: the reference module needs PLUMED/mlcolvar.
+    import ast
+
+    tree = ast.parse(open(src).read())
+    fn = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == tool
+    )
+    ref_params = [a.arg for a in fn.args.args]
+    n_defaults = len(fn.args.defaults)
+    ref_optional = set(ref_params[-n_defaults:]) if n_defaults else set()
+
+    import types
+
+    ours = getattr(importlib.import_module("deep_cartograph.tools"), tool)
+    if isinstance(ours, types.ModuleType):
+        # An earlier import of the submodule shadows the function attribute
+        # on the package (standard Python behavior); resolve the function.
+        ours = getattr(ours, tool)
+    sig = inspect.signature(ours)
+    have = set(sig.parameters)
+    accepts_kwargs = any(
+        p.kind is inspect.Parameter.VAR_KEYWORD
+        for p in sig.parameters.values()
+    )
+    missing = [p for p in ref_params if p not in have]
+    assert accepts_kwargs or not missing, (
+        f"{tool} missing reference parameters: {missing}"
+    )
+    non_optional = [
+        p for p in ref_optional
+        if p in sig.parameters
+        and sig.parameters[p].default is inspect.Parameter.empty
+    ]
+    assert not non_optional, (
+        f"{tool}: reference-optional params are required here: {non_optional}"
+    )
