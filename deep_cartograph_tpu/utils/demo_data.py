@@ -277,6 +277,134 @@ traj_cluster:
 """,
 }
 
+# Validation-workflow configs (reference input/distances_config_validation.yml
+# and torsions_config_validation.yml): dip-test-only filtering, deterministic
+# single-try training, hierarchical clustering over an optimized cluster count.
+_VALIDATION_CONFIGS = {
+    "distances_config_validation.yml": """compute_features:
+  plumed_settings:
+    traj_stride: 1
+    features:
+      distance_groups:
+        dist:
+          first_selection: "name CA"
+          second_selection: "name CA"
+          first_stride: 1
+          second_stride: 2
+          skip_neigh_residues: True
+
+filter_features:
+  filter_settings:
+    compute_diptest: True
+    compute_entropy: False
+    compute_std: False
+    diptest_significance_level: 0.05
+    entropy_quantile: 0
+    std_quantile: 0
+
+train_colvars:
+  cvs: ['pca', 'deep_tica', 'tica', 'ae']
+  common:
+    dimension: 2
+    lag_time: 1
+    features_normalization: 'mean_std'
+    input_colvars:
+      start: 0
+      stop: null
+      stride: 1
+    architecture:
+      encoder:
+        layers: [5, 3]
+        dropout: [0.1, 0.1]
+    training:
+      general:
+        num_tries: 1
+        seed: 42
+        lengths: [0.8, 0.2]
+        batch_size: 128
+        max_epochs: 200
+        shuffle: False
+        random_split: True
+        check_val_every_n_epoch: 1
+        save_check_every_n_epoch: 1
+      early_stopping:
+        patience: 100
+        min_delta: 1.0e-05
+      optimizer:
+        name: Adam
+        kwargs:
+          lr: 1.0e-03
+          weight_decay: 0
+  clustering:
+    run: True
+    algorithm: hierarchical
+    opt_num_clusters: True
+    search_interval: [5, 15]
+    num_clusters: 3
+    linkage: complete
+""",
+    "torsions_config_validation.yml": """compute_features:
+  plumed_settings:
+    traj_stride: 1
+    features:
+      dihedral_groups:
+        tor:
+          selection: "all"
+          periodic_encoding: True
+          search_mode: virtual
+
+filter_features:
+  filter_settings:
+    compute_diptest: True
+    compute_entropy: False
+    compute_std: False
+    diptest_significance_level: 0.05
+    entropy_quantile: 0
+    std_quantile: 0
+
+train_colvars:
+  cvs: ['pca', 'deep_tica', 'tica', 'ae']
+  common:
+    dimension: 2
+    lag_time: 1
+    features_normalization: 'mean_std'
+    input_colvars:
+      start: 0
+      stop: null
+      stride: 1
+    architecture:
+      encoder:
+        layers: [5, 3]
+        dropout: [0.1, 0.1]
+    training:
+      general:
+        num_tries: 1
+        seed: 42
+        lengths: [0.8, 0.2]
+        batch_size: 128
+        max_epochs: 200
+        shuffle: False
+        random_split: True
+        check_val_every_n_epoch: 1
+        save_check_every_n_epoch: 1
+      early_stopping:
+        patience: 100
+        min_delta: 1.0e-05
+      optimizer:
+        name: Adam
+        kwargs:
+          lr: 1.0e-03
+          weight_decay: 0
+  clustering:
+    run: True
+    algorithm: hierarchical
+    opt_num_clusters: True
+    search_interval: [5, 15]
+    num_clusters: 3
+    linkage: complete
+""",
+}
+
 
 def _write_configs(folder: str) -> None:
     for name, text in _FEATURE_CONFIGS.items():
@@ -284,21 +412,45 @@ def _write_configs(folder: str) -> None:
             fh.write(text)
 
 
+# The six GOdMD transition systems of the reference dataset
+# (/root/reference/deep_cartograph/data/calpha_transitions/input/): only
+# 6IRS_7DSQ carries the GOdMD_ file prefix there; the others name files
+# after the system. Values: (file prefix or None for system name, rng seed,
+# n_residues).
+CALPHA_SYSTEMS = {
+    "1rcs_B-3ssx_R-3": (None, 4, 16),
+    "2olu_A-2olv_A-1": (None, 5, 14),
+    "3cw2_E-2qmu_A-3": (None, 6, 18),
+    "3hif_B-4bhp_A-3": (None, 8, 15),
+    "3ts7_B-3ts7_A-1": (None, 9, 17),
+    "6IRS_7DSQ": ("GOdMD_6IRS_7DSQ", 3, 16),
+}
+
+
 def _materialize_calpha_transitions(root: str) -> None:
     """CA transition systems mirroring the reference's GOdMD inputs
-    (input/<system>/{GOdMD_<system>.dcd,.pdb} + reference/<system>/)."""
+    (input/<system>/{<system>.dcd,.pdb} + the two *_validation.yml configs
+    + experiments/ — same directory listing as the reference dataset)."""
     from deep_cartograph_tpu.io.dcd import write_dcd
 
-    systems = {"6IRS_7DSQ": 3, "1rcs_B-3ssx_R-3": 4, "2olu_A-2olv_A-1": 5}
     inp = os.path.join(root, "input")
     os.makedirs(inp, exist_ok=True)
     _write_configs(inp)
-    for name, seed in systems.items():
+    for cfg in ("distances_config_validation.yml",
+                "torsions_config_validation.yml"):
+        with open(os.path.join(inp, cfg), "w") as fh:
+            fh.write(_VALIDATION_CONFIGS[cfg])
+    exp = os.path.join(root, "experiments")
+    os.makedirs(exp, exist_ok=True)
+    with open(os.path.join(exp, "torsions_config.yml"), "w") as fh:
+        fh.write(_FEATURE_CONFIGS["torsions_config.yml"])
+    for name, (prefix, seed, n_res) in CALPHA_SYSTEMS.items():
+        stem = prefix or name
         folder = os.path.join(inp, name)
         os.makedirs(folder, exist_ok=True)
-        coords = ca_coords(16, 200, seed=seed)
-        write_ca_pdb(os.path.join(folder, f"GOdMD_{name}.pdb"), coords[0])
-        write_dcd(os.path.join(folder, f"GOdMD_{name}.dcd"), coords)
+        coords = ca_coords(n_res, 200, seed=seed)
+        write_ca_pdb(os.path.join(folder, f"{stem}.pdb"), coords[0])
+        write_dcd(os.path.join(folder, f"{stem}.dcd"), coords)
         ref = os.path.join(root, "reference", name)
         os.makedirs(ref, exist_ok=True)
         write_ca_pdb(os.path.join(ref, f"{name}_reference.pdb"), coords[-1])

@@ -19,6 +19,45 @@ OUT = os.path.join(HERE, "output_calpha")
 system = make_transition_system(os.path.join(OUT, "input"))
 
 # ---------------------------------------------------------------------------
+banner("Step 0: featurize the full GOdMD transition ensemble")
+# The reference notebook walks all six calpha_transitions systems
+# (data/calpha_transitions/input/); the generated data package ships the
+# same six. Same-topology batching is per-system here (each system has its
+# own chain length), so this is the serial-ensemble shape of the loop.
+import importlib
+
+from deep_cartograph_tpu.tools.compute_features import compute_features
+from deep_cartograph_tpu.utils.demo_data import CALPHA_SYSTEMS
+
+_data = importlib.import_module("deep_cartograph.data")
+_calpha_inp = os.path.join(_data._ROOT, "calpha_transitions", "input")
+ensemble_cfg = {
+    "plumed_settings": {
+        "traj_stride": 1,
+        "features": {
+            "distance_groups": {
+                "dist": {
+                    "first_selection": "name CA",
+                    "second_selection": "name CA",
+                    "first_stride": 1,
+                    "second_stride": 2,
+                    "skip_neigh_residues": True,
+                }
+            }
+        },
+    }
+}
+for _name, (_prefix, _, _) in CALPHA_SYSTEMS.items():
+    _stem = _prefix or _name
+    _paths = compute_features(
+        configuration=ensemble_cfg,
+        trajectory_data=[os.path.join(_calpha_inp, _name, _stem + ".dcd")],
+        topology_data=[os.path.join(_calpha_inp, _name, _stem + ".pdb")],
+        output_folder=os.path.join(OUT, "ensemble_features", _name),
+    )
+    print(f"{_name}: {_paths}")
+
+# ---------------------------------------------------------------------------
 banner("Step 1: compute features (torsions + distances)")
 # The reference drives a PLUMED subprocess per trajectory; here the batched
 # TPU featurization engine evaluates every frame chunk on device.

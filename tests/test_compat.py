@@ -236,6 +236,45 @@ def test_data_package_drop_in(tmp_path):
     assert len(df) == 4000
 
 
+def test_calpha_transitions_matches_reference_listing():
+    """The generated calpha_transitions dataset ships every transition
+    system and config the reference dataset does (reference
+    data/calpha_transitions/input/), and the validation configs validate
+    against the composite schema."""
+    import importlib
+
+    import yaml
+
+    from deep_cartograph_tpu.config.schemas import DeepCartograph
+    from deep_cartograph_tpu.utils.demo_data import CALPHA_SYSTEMS
+
+    data = importlib.import_module("deep_cartograph.data")
+    inp = os.path.join(data._ROOT, "calpha_transitions", "input")
+    assert len(CALPHA_SYSTEMS) == 6
+    for name, (prefix, _, _) in CALPHA_SYSTEMS.items():
+        stem = prefix or name
+        for ext in (".pdb", ".dcd"):
+            assert os.path.exists(os.path.join(inp, name, stem + ext)), (
+                f"missing {name}/{stem}{ext}"
+            )
+    for cfg in (
+        "distances_config.yml",
+        "torsions_config.yml",
+        "distances_config_validation.yml",
+        "torsions_config_validation.yml",
+    ):
+        path = os.path.join(inp, cfg)
+        assert os.path.exists(path), f"missing {cfg}"
+        with open(path) as fh:
+            DeepCartograph(**yaml.safe_load(fh))
+    assert os.path.exists(
+        os.path.join(
+            data._ROOT, "calpha_transitions", "experiments",
+            "torsions_config.yml",
+        )
+    )
+
+
 def test_data_dir_override_and_regenerate(tmp_path, monkeypatch):
     """DEEP_CARTO_DATA_DIR points dataset generation at a writable location
     (read-only installs); materialize() is idempotent via markers."""
