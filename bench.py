@@ -172,6 +172,51 @@ def ref_filter_stats_seconds(features: np.ndarray, n_probe: int = 100) -> float:
     return time.time() - t0
 
 
+def ref_measured_seconds(host_features: np.ndarray, io_sub: int, tmpdir: str):
+    """Time the REFERENCE's own code (unmodified /root/reference checkout)
+    in a subprocess: one read_colvars of an io_sub-frame full-width colvars
+    file, plus Filter(...).run() on a FILTER_PROBE-feature probe file.
+    Returns a dict of raw + scaled numbers (None on failure)."""
+    import json
+    import subprocess
+
+    from deep_cartograph_tpu.io.colvars import write_colvars
+
+    FILTER_PROBE = 24
+    n_frames_total, n_feat = host_features.shape
+    full_path = os.path.join(tmpdir, "ref_full.dat")
+    probe_path = os.path.join(tmpdir, "ref_probe.dat")
+    names = ["time"] + [f"dist-@CA_{j}-@CA_{j + 2}" for j in range(n_feat - 1)]
+    write_colvars(full_path, host_features[:io_sub], names)
+    write_colvars(
+        probe_path, host_features[:io_sub, :FILTER_PROBE], names[:FILTER_PROBE]
+    )
+    runner = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_ref_runner.py")
+    try:
+        proc = subprocess.run(
+            [sys.executable, runner, full_path, probe_path,
+             str(FILTER_PROBE - 1)],
+            capture_output=True, text=True, timeout=1200,
+        )
+        raw = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # reference code unavailable: report, don't fail
+        print(f"[bench] reference-code measurement skipped: {exc}")
+        return None
+    frames_scale = n_frames_total / io_sub
+    feat_scale = n_feat / (FILTER_PROBE - 1)
+    return {
+        "ref_measured_read_s": round(raw["read_s"] * frames_scale, 2),
+        "ref_measured_read_raw_s": round(raw["read_s"], 3),
+        "ref_measured_filter_probe_s": round(raw["filter_s"], 2),
+        "ref_measured_filter_full_estimate_s": round(
+            raw["filter_s"] * feat_scale**2 * frames_scale, 1
+        ),
+        "ref_measured_probe_features": FILTER_PROBE - 1,
+        "ref_measured_subset_frames": io_sub,
+    }
+
+
 def ref_torch_epoch_seconds(features: np.ndarray, lag, batch_size, n_batches):
     """One deep-TICA epoch in torch on CPU — the reference's training stack
     (mlcolvar/Lightning are torch CPU underneath; same math, no framework
@@ -431,6 +476,13 @@ def main() -> None:
         n_feat / stats_probe
     )
 
+    # ---- MEASURED reference code (not a reconstruction): run the actual
+    # /root/reference filter.py + colvars.py in a subprocess on bench-shaped
+    # colvars subsets (bench_ref_runner.py). read scales linearly in frames;
+    # the Filter loop re-reads the whole file per feature, so its full-run
+    # estimate scales by (features/probe)^2 x (frames/subset).
+    ref_measured = ref_measured_seconds(host_features, io_sub, tmpdir)
+
     std_h = np.std(host_features, axis=0)
     keep = np.where(std_h >= np.quantile(std_h, STD_QUANTILE))[0]
     filtered_host = host_features[:, keep]
@@ -483,6 +535,9 @@ def main() -> None:
             "ref_filter_per_feature_reread_s_estimate": round(
                 per_feature_reread_estimate, 0
             ),
+            # Measured by executing the reference's OWN filter.py/colvars.py
+            # (subprocess on /root/reference; see bench_ref_runner.py).
+            **(ref_measured or {"ref_measured_read_s": None}),
             "xla_cpu_featurize_s": (
                 round(xla_cpu_featurize_s, 2)
                 if xla_cpu_featurize_s is not None
