@@ -293,7 +293,10 @@ def main() -> None:
     plan = compile_plan(labels, top)
     n_feat = plan.n_features
     evaluator = PlanEvaluator(plan)
-    feature_fn = evaluator.device_fn()
+    # eval_raw: big caller chunks run as fixed-shape compiled subchunks
+    # (DEEP_CARTO_COMPILE_CHUNK) — compile cost is per plan SHAPE, not per
+    # caller chunk size, and the persistent cache reuses it across runs.
+    feature_fn = lambda chunk: evaluator.eval_raw(chunk)
 
     t0 = time.time()
     _sync(feature_fn(jnp.zeros((CHUNK, N_ATOMS, 3), jnp.float32)))

@@ -144,6 +144,10 @@ def rmsd_per_frame(
 # Feature-plan evaluation
 # ---------------------------------------------------------------------------
 
+@partial(
+    jax.jit,
+    static_argnames=("n_features", "has_centers"),
+)
 def _evaluate_plan_chunk(
     coords: jnp.ndarray,
     dist_selector,
@@ -156,14 +160,23 @@ def _evaluate_plan_chunk(
     coord_axes: jnp.ndarray,
     center_atoms: jnp.ndarray,
     center_mask: jnp.ndarray,
-    dist_out: np.ndarray,
-    dihedral_out: np.ndarray,
-    coord_out: np.ndarray,
-    n_features: int,
+    dist_out: jnp.ndarray,
+    dihedral_out: jnp.ndarray,
+    coord_out: jnp.ndarray,
     fit_reference: Optional[jnp.ndarray],
     fit_weights: Optional[jnp.ndarray],
+    *,
+    n_features: int,
+    has_centers: bool,
 ) -> jnp.ndarray:
-    """Evaluate every feature for a chunk of frames. coords: (C, A, 3) Angstrom."""
+    """Evaluate every feature for a chunk of frames. coords: (C, A, 3) Angstrom.
+
+    Plan arrays are TRACED ARGUMENTS, not closure constants: embedding them
+    as XLA constants both slows compilation and keys every (feature list,
+    topology) pair to its own executable. As arguments, the jit (and the
+    persistent compilation cache) key on SHAPES only — every same-shape
+    plan segment reuses one compiled program.
+    """
     C = coords.shape[0]
     out = jnp.zeros((C, n_features), dtype=coords.dtype)
 
@@ -193,10 +206,7 @@ def _evaluate_plan_chunk(
     elif n_dist:
         pa = jnp.take(coords, dist_pairs[:, 0], axis=-2)
         pb = jnp.take(coords, dist_pairs[:, 1], axis=-2)
-        if center_atoms.shape[0] and (
-            np.any(np.asarray(dist_center_a) >= 0)
-            or np.any(np.asarray(dist_center_b) >= 0)
-        ):
+        if center_atoms.shape[0] and has_centers:
             centers = group_centers(coords, center_atoms, center_mask)  # (C, G, 3)
             ca = jnp.asarray(dist_center_a)
             cb = jnp.asarray(dist_center_b)
@@ -299,34 +309,48 @@ class PlanEvaluator:
         else:
             self._dist_selector = None
         self._dihedral_quads = jnp.asarray(plan.dihedral_quads.reshape(-1, 4))
+        self._dihedral_mode = jnp.asarray(plan.dihedral_mode)
         self._coord_atoms = jnp.asarray(plan.coord_atoms)
         self._coord_axes = jnp.asarray(plan.coord_axes)
         self._center_atoms = jnp.asarray(plan.center_atoms)
         self._center_mask = jnp.asarray(plan.center_mask, self.dtype)
-
-        fn = partial(
-            _evaluate_plan_chunk,
-            dist_center_a=plan.dist_center_a,
-            dist_center_b=plan.dist_center_b,
-            dihedral_mode=plan.dihedral_mode,
-            dist_out=plan.dist_out,
-            dihedral_out=plan.dihedral_out,
-            coord_out=plan.coord_out,
-            n_features=plan.n_features,
+        self._dist_center_a = jnp.asarray(plan.dist_center_a)
+        self._dist_center_b = jnp.asarray(plan.dist_center_b)
+        self._dist_out = jnp.asarray(plan.dist_out)
+        self._dihedral_out = jnp.asarray(plan.dihedral_out)
+        self._coord_out = jnp.asarray(plan.coord_out)
+        self._has_centers = has_centers
+        self._n_features = int(plan.n_features)
+        # Compiled-shape cap: XLA compile time on this backend grows
+        # superlinearly with the frame-chunk dimension (measured: ~7 s at
+        # 2.5k frames vs ~270 s at 20k for the bench plan), while device
+        # execution is thousands of frames per millisecond. Evaluating big
+        # caller chunks in fixed-shape subchunks keeps ONE small fast
+        # program per plan shape regardless of caller chunking.
+        self._compile_cap = int(
+            __import__("os").environ.get("DEEP_CARTO_COMPILE_CHUNK", 4096)
         )
-        self._jitted = jax.jit(
-            lambda coords: fn(
-                coords,
-                dist_selector=self._dist_selector,
-                dist_pairs=self._dist_pairs,
-                dihedral_quads=self._dihedral_quads,
-                coord_atoms=self._coord_atoms,
-                coord_axes=self._coord_axes,
-                center_atoms=self._center_atoms,
-                center_mask=self._center_mask,
-                fit_reference=self._fit_reference,
-                fit_weights=self._fit_weights,
-            )
+
+    def _run(self, coords):
+        return _evaluate_plan_chunk(
+            coords,
+            self._dist_selector,
+            self._dist_pairs,
+            self._dist_center_a,
+            self._dist_center_b,
+            self._dihedral_quads,
+            self._dihedral_mode,
+            self._coord_atoms,
+            self._coord_axes,
+            self._center_atoms,
+            self._center_mask,
+            self._dist_out,
+            self._dihedral_out,
+            self._coord_out,
+            self._fit_reference,
+            self._fit_weights,
+            n_features=self._n_features,
+            has_centers=self._has_centers,
         )
 
     def __call__(self, coords_chunk: np.ndarray) -> np.ndarray:
@@ -334,10 +358,29 @@ class PlanEvaluator:
         return np.asarray(self.eval_raw(coords_chunk))
 
     def eval_raw(self, coords_chunk):
-        """Evaluate and return the device array (no host download)."""
+        """Evaluate and return the device array (no host download).
+
+        Chunks larger than the compile cap are evaluated in fixed-shape
+        subchunks (tail padded, trimmed after concat) — every call reuses
+        the same compiled program whatever the caller's chunk size.
+        """
         with self._device_ctx():
-            return self._jitted(jnp.asarray(coords_chunk, self.dtype))
+            coords = jnp.asarray(coords_chunk, self.dtype)
+            C = coords.shape[0]
+            cap = self._compile_cap
+            if C <= cap:
+                return self._run(coords)
+            outs = []
+            for s in range(0, C, cap):
+                blk = coords[s : s + cap]
+                n = blk.shape[0]
+                if n < cap:
+                    pad = jnp.repeat(blk[-1:], cap - n, axis=0)
+                    blk = jnp.concatenate([blk, pad], axis=0)
+                outs.append(self._run(blk)[:n])
+            return jnp.concatenate(outs, axis=0)
 
     def device_fn(self):
-        """The raw jitted device function (for sharded callers)."""
-        return self._jitted
+        """A coords-only callable of the plan program (for callers that
+        re-jit with shardings or compose it into larger programs)."""
+        return self._run
