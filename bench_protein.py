@@ -1,0 +1,202 @@
+"""Protein-scale featurization benchmark (VERDICT r2 task 3).
+
+A 1000-residue backbone system (~5k atoms, protein_1BM8-like scale:
+reference data/protein_1BM8/input/topology.pdb) featurized through the
+SHIPPED compile_plan/PlanEvaluator with a mixed feature set resolved from
+real atom names: 10k CA-CA distances + sin/cos of every backbone phi/psi
+(~4k dihedral encodings) = ~14k features.
+
+Measures, for BOTH distance strategies (selector matmul vs dynamic
+gather): program compile/first-call time, device-resident frames/s, and
+one upload-inclusive block. Also records engine.auto_chunk_size's choice
+at this shape. Writes BENCH_protein.json.
+
+Run: python bench_protein.py   (single chip; CPU smoke via env overrides)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+N_RES = int(os.environ.get("PROT_RES", 1000))
+N_FRAMES = int(os.environ.get("PROT_FRAMES", 50_000))
+BLOCK = int(os.environ.get("PROT_BLOCK", 512))
+N_DIST = int(os.environ.get("PROT_DIST", 10_000))
+
+
+def _log(msg: str) -> None:
+    print(f"[protein] {msg}", file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from deep_cartograph_tpu.features.grammar import compile_plan
+    from deep_cartograph_tpu.geom.engine import auto_chunk_size
+    from deep_cartograph_tpu.geom.kernels import PlanEvaluator
+    from deep_cartograph_tpu.io.topology import Topology
+    from deep_cartograph_tpu.utils.demo_data import (
+        backbone_coords,
+        write_backbone_pdb,
+    )
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+
+    # ---- 5k-atom backbone topology --------------------------------------
+    coords0, names, resnames, resids = backbone_coords(
+        n_residues=N_RES, n_frames=1, seed=3
+    )
+    base = coords0[0].astype(np.float32)
+    # Fold the extended chain into PDB-representable coordinates (fixed
+    # 8-char columns need |coord| < 1000): recenter and scale. A perf
+    # benchmark only needs the shape, not physical geometry.
+    base -= base.mean(0, keepdims=True)
+    max_abs = float(np.abs(base).max())
+    if max_abs > 450.0:
+        base *= 450.0 / max_abs
+    n_atoms = base.shape[0]
+    tmpdir = tempfile.mkdtemp(prefix="prot_")
+    pdb_path = os.path.join(tmpdir, "top.pdb")
+    write_backbone_pdb(pdb_path, base, names, resnames, resids)
+    top = Topology.from_pdb(pdb_path)
+    _log(f"{n_atoms} atoms, {N_RES} residues")
+
+    # ---- mixed feature labels resolved from REAL atom names -------------
+    # CA-CA distances: deterministic spread over residue pairs.
+    labels = []
+    k = 0
+    for i in range(1, N_RES + 1):
+        for j in range(i + 3, N_RES + 1, 7):
+            labels.append(f"dist-@CA_{i}-@CA_{j}")
+            k += 1
+            if k >= N_DIST:
+                break
+        if k >= N_DIST:
+            break
+    for r in range(2, N_RES):
+        labels.append(f"sin-@phi_{r}")
+        labels.append(f"cos-@phi_{r}")
+        labels.append(f"sin-@psi_{r}")
+        labels.append(f"cos-@psi_{r}")
+
+    t0 = time.time()
+    plan = compile_plan(labels, top)
+    plan_host_s = time.time() - t0
+    n_feat = plan.n_features
+    _log(f"plan: {n_feat} features ({k} distances, "
+         f"{n_feat - k} dihedral encodings), host compile {plan_host_s:.1f}s")
+
+    auto_chunk = auto_chunk_size(8192, n_atoms, n_feat)
+
+    # ---- on-device frame generator (collective modes + noise) -----------
+    n_modes = 8
+    phases = jnp.asarray(rng.uniform(0, 2 * np.pi, n_modes).astype(np.float32))
+    freqs = jnp.asarray(rng.uniform(0.5, 3.0, n_modes).astype(np.float32))
+    shapes = jnp.asarray(
+        (rng.standard_normal((n_modes, n_atoms, 3)) * 0.2).astype(np.float32)
+    )
+    base_d = jnp.asarray(base)
+    key0 = jax.random.PRNGKey(11)
+
+    @jax.jit
+    def gen_coords(frame_ids):
+        tt = frame_ids.astype(jnp.float32) / N_FRAMES * 2 * jnp.pi
+        waves = jnp.sin(freqs[None, :] * tt[:, None] + phases[None, :])
+        c = base_d[None] + jnp.einsum("fm,mad->fad", waves, shapes)
+        key = jax.random.fold_in(key0, frame_ids[0])
+        return c + 0.03 * jax.random.normal(key, c.shape, jnp.float32)
+
+    results = {}
+    for strategy in ("auto", "gather"):
+        ev = PlanEvaluator(plan, gather_strategy=strategy)
+        used = "matmul" if ev._dist_selector is not None else "gather"
+        t0 = time.time()
+        out = ev.eval_raw(gen_coords(jnp.arange(BLOCK)))
+        float(jnp.ravel(out)[0])
+        compile_s = time.time() - t0
+
+        # Device-resident throughput: stream N_FRAMES in BLOCK-frame steps.
+        t0 = time.time()
+        outs = []
+        for start in range(0, N_FRAMES, BLOCK):
+            outs.append(
+                ev.eval_raw(gen_coords(jnp.arange(start, start + BLOCK)))
+            )
+            if len(outs) > 2:
+                outs.pop(0)  # keep 2 in flight, stay in HBM budget
+        float(jnp.ravel(outs[-1])[0])
+        resident_s = time.time() - t0
+
+        host_block = np.asarray(gen_coords(jnp.arange(BLOCK)))
+        t0 = time.time()
+        probe = ev.eval_raw(jax.device_put(host_block))
+        float(jnp.ravel(probe)[0])
+        upload_s = time.time() - t0
+
+        # Distance-contraction FLOPs dominate at this shape (the dihedral
+        # path is gather+trig over ~4k quads). f32-HIGHEST on the MXU runs
+        # as 6 bf16 passes -> ceiling = peak/6.
+        flops = N_FRAMES * 2.0 * n_atoms * k * 3
+        tflops = flops / resident_s / 1e12
+        results[strategy] = {
+            "strategy_used": used,
+            "compile_first_call_s": round(compile_s, 2),
+            "device_resident_s": round(resident_s, 2),
+            "device_resident_frames_per_sec": round(N_FRAMES / resident_s, 1),
+            "upload_block_s": round(upload_s, 3),
+            "distance_tflops": round(tflops, 2),
+            "mfu_vs_f32_highest_ceiling": round(tflops / (197.0 / 6), 4),
+        }
+        _log(f"{strategy} ({used}): first-call {compile_s:.1f}s, "
+             f"{N_FRAMES / resident_s:,.0f} frames/s device-resident")
+        del outs, out, probe
+
+    result = {
+        "metric": "protein_scale_featurize_frames_per_sec",
+        "value": max(
+            r["device_resident_frames_per_sec"] for r in results.values()
+        ),
+        "unit": "frames/s",
+        "detail": {
+            "device": str(dev),
+            "n_atoms": n_atoms,
+            "n_residues": N_RES,
+            "n_features": n_feat,
+            "n_distances": k,
+            "n_frames": N_FRAMES,
+            "block_frames": BLOCK,
+            "plan_compile_host_s": round(plan_host_s, 2),
+            "auto_chunk_size_at_8192": auto_chunk,
+            "strategies": results,
+            "notes": (
+                "Real atom-name resolution on a 1000-residue backbone "
+                "topology: 10k CA-CA distances + all phi/psi sin/cos "
+                "through the shipped grammar/PlanEvaluator. 'auto' picks "
+                "the selector matmul at this shape (50M selector cells); "
+                "'gather' forces the take-based path the VERDICT asked to "
+                "prove. Frames generated on device; bench.py measures the "
+                "host decode/upload side."
+            ),
+        },
+    }
+    print(json.dumps(result))
+    with open("BENCH_protein.json", "w") as fh:
+        json.dump(result, fh, indent=1)
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as exc:
+        print(f"[protein] first attempt failed ({exc}); retrying once",
+              file=sys.stderr, flush=True)
+        time.sleep(10)
+        main()

@@ -406,9 +406,6 @@ class ShardedChunkEvaluator:
         self.mesh = get_mesh()
         self.n_devices = int(self.mesh.devices.size)
         self._sharding = frame_sharding(self.mesh)
-        self._jitted = jax.jit(
-            evaluator.device_fn(), out_shardings=self._sharding
-        )
 
     def device_fn(self):
         return self.inner.device_fn()
@@ -421,7 +418,11 @@ class ShardedChunkEvaluator:
         padded, n = pad_to_multiple(
             np.asarray(coords_chunk, np.float32), self.n_devices
         )
-        out = self._jitted(jax.device_put(padded, self._sharding))
+        # device_put straight into the frame sharding; the shared
+        # args-form plan program partitions along the frame axis from the
+        # input sharding alone (every op is frame-parallel), so no
+        # constants-baking outer jit is needed.
+        out = self.inner.eval_raw(jax.device_put(padded, self._sharding))
         return out if out.shape[0] == n else out[:n]
 
     def __call__(self, coords_chunk: np.ndarray) -> np.ndarray:

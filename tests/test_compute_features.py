@@ -133,8 +133,10 @@ def test_multi_trajectory_shared_chunks(ca_system, tmp_path, monkeypatch):
     )
     results = featurizer.featurize_trajectories(paths, frame_chunk=64)
 
-    # 3 x 20 = 60 frames packed into ONE 64-frame evaluation
-    assert len(calls) == 1 and calls[0] == 64
+    # 3 x 20 = 60 frames packed into ONE 64-frame evaluation. On the
+    # multi-device backend the sharded wrapper DELEGATES to the plain
+    # evaluator, so each spy sees that one evaluation once.
+    assert 1 <= len(calls) <= 2 and all(c == 64 for c in calls)
     assert [r.shape[0] for r in results] == [20, 20, 20]
     # identical values to the per-trajectory path
     for i, r in enumerate(results):

@@ -265,8 +265,9 @@ def test_featurizer_auto_shards_over_multi_device_backend(ca_system):
     assert out_sharded.shape == reference.shape
     np.testing.assert_allclose(out_sharded, reference, atol=1e-6)
 
-    # the device view really is sharded across the mesh
-    raw = ev._jitted(
+    # the device view really is sharded across the mesh: the shared plan
+    # program partitions along the frame axis from the input sharding
+    raw = ev.inner.eval_raw(
         jax.device_put(
             np.repeat(coords[:1], 8 * 4, axis=0), ev._sharding
         )
