@@ -291,12 +291,24 @@ class PlanEvaluator:
         has_centers = bool(
             np.any(plan.dist_center_a >= 0) or np.any(plan.dist_center_b >= 0)
         )
+        # Measured on TPU v5e: the selector contraction wins when the pair
+        # set is DENSE relative to the atom count (it pays 2*A FLOPs per
+        # pair but rides the MXU: 1.4-1.8x faster at 48-320 atoms with
+        # all-pairs features), while sparse pair sets over big topologies
+        # make the gather path 3.7x faster AND two orders of magnitude
+        # cheaper to compile (5000 atoms, 10k pairs: 141k vs 38k frames/s,
+        # 2.3 s vs 322 s first call — BENCH_protein.json).
+        dense_pairs = (
+            n_atoms_total <= 512
+            or n_dist >= (n_atoms_total * n_atoms_total) // 8
+        )
         use_matmul = (
             gather_strategy == "matmul"
             or (
                 gather_strategy == "auto"
                 and n_dist > 0
                 and not has_centers
+                and dense_pairs
                 and n_dist * max(n_atoms_total, 1) <= 50_000_000
             )
         )
