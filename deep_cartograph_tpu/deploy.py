@@ -49,6 +49,11 @@ class FramesToCV:
         feature_fn = self.evaluator.device_fn()
 
         project = self._device_projection()
+        # Deliberately ONE fused program (featurize + projection in a
+        # single dispatch — serving latency wins). The outer trace bakes
+        # the plan arrays in as constants, trading the shared-executable
+        # reuse geom.kernels provides for fusion: a serving process
+        # compiles once per deployed model, so the trade is right here.
         self._jitted = jax.jit(lambda coords: project(feature_fn(coords)))
 
         # Multi-chip serving: frame-shard every batch over the mesh

@@ -384,9 +384,11 @@ class Featurizer:
         padded, n = pad_to_multiple(np.asarray(coords, np.float32), n_dev)
         sharding = frame_sharding(mesh)
         frames_d = jax.device_put(padded, sharding)
-        out = jax.jit(self.evaluator.device_fn(), out_shardings=sharding)(
-            frames_d
-        )
+        # The shared args-form plan program partitions along the frame axis
+        # from the input sharding; no constants-baking outer jit.
+        ev = self.evaluator
+        inner = ev.inner if isinstance(ev, ShardedChunkEvaluator) else ev
+        out = inner.eval_raw(frames_d)
         return out, n
 
 

@@ -339,9 +339,12 @@ class PlanEvaluator:
         # execution is thousands of frames per millisecond. Evaluating big
         # caller chunks in fixed-shape subchunks keeps ONE small fast
         # program per plan shape regardless of caller chunking.
-        self._compile_cap = int(
+        cap = int(
             __import__("os").environ.get("DEEP_CARTO_COMPILE_CHUNK", 4096)
         )
+        # <=0 disables the cap (the 0-disables convention of the sibling
+        # DEEP_CARTO_* knobs): whole caller chunks compile as one program.
+        self._compile_cap = cap if cap > 0 else (1 << 62)
 
     def _run(self, coords):
         return _evaluate_plan_chunk(

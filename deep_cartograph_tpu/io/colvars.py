@@ -394,7 +394,12 @@ def write_colvars(
         # Size for the data's actual magnitude (plus slack): tokens are
         # sign + int-digits + '.' + decimals + separator. A NaN/Inf max
         # routes to the generous fallback budget.
-        max_abs = float(np.max(np.abs(data), initial=0.0))
+        # min/max (no np.abs temporary: this path handles GB-scale
+        # matrices); NaN propagates to the generous fallback budget.
+        max_abs = max(
+            abs(float(np.min(data, initial=0.0))),
+            abs(float(np.max(data, initial=0.0))),
+        )
         int_digits = (
             int(np.floor(np.log10(max_abs))) + 2
             if np.isfinite(max_abs) and max_abs >= 1.0

@@ -559,14 +559,31 @@ _MATERIALIZERS = {
 }
 
 
+# Bump when a generator's CONTENT/layout changes: stale installs (whose
+# .generated marker carries an older tag) regenerate on next materialize().
+_DATASET_VERSIONS = {
+    "alanine_dipeptide": 1,
+    "calpha_transitions": 2,   # v2: six systems + validation configs
+    "muller_brown": 1,
+    "peptide_ensemble": 1,
+    "protein_1BM8": 1,
+}
+
+
 def materialize(root: str, datasets: Optional[List[str]] = None,
                 force: bool = False) -> None:
-    """Generate the demo datasets under `root` (skips existing ones)."""
+    """Generate the demo datasets under `root` (skips up-to-date ones)."""
     for name in datasets or DATASETS:
         folder = os.path.join(root, name)
         marker = os.path.join(folder, ".generated")
+        tag = f"v{_DATASET_VERSIONS.get(name, 1)}"
         if os.path.exists(marker) and not force:
-            continue
+            with open(marker) as fh:
+                if tag in fh.read():
+                    continue
+            # stale layout from an earlier generator version: rebuild
         _MATERIALIZERS[name](folder)
         with open(marker, "w") as fh:
-            fh.write("generated by deep_cartograph_tpu.utils.demo_data\n")
+            fh.write(
+                f"generated by deep_cartograph_tpu.utils.demo_data {tag}\n"
+            )

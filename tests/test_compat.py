@@ -291,6 +291,13 @@ def test_data_dir_override_and_regenerate(tmp_path, monkeypatch):
     materialize(target)  # second call: skipped, marker untouched
     assert os.path.getmtime(marker) == before
 
+    # A stale marker (older generator version) triggers regeneration.
+    with open(marker, "w") as fh:
+        fh.write("generated by deep_cartograph_tpu.utils.demo_data\n")
+    materialize(target)
+    with open(marker) as fh:
+        assert "v1" in fh.read()
+
     monkeypatch.setenv("DEEP_CARTO_DATA_DIR", str(tmp_path / "env_dir"))
     sys.modules.pop("deep_cartograph.data", None)
     mod = importlib.import_module("deep_cartograph.data")
