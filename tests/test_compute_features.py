@@ -220,3 +220,61 @@ def test_featurizer_device_policies(ca_system, tmp_path):
     # direct numpy cross-check
     d = np.linalg.norm(coords[:, 0] - coords[:, 2], axis=-1) * 0.1
     np.testing.assert_allclose(results["default"][:, 0], d, atol=1e-5)
+
+
+def test_gather_strategy_auto_density_heuristic(ca_system):
+    """auto picks the selector matmul only for DENSE pair sets (small
+    topologies or pairs >= atoms^2/8); sparse pairs over big topologies
+    take the gather path (measured 3.7x faster at 5k atoms / 10k pairs)."""
+    import numpy as np
+
+    from deep_cartograph_tpu.features.grammar import compile_plan
+    from deep_cartograph_tpu.geom.kernels import PlanEvaluator
+    from deep_cartograph_tpu.io.topology import Topology
+    from deep_cartograph_tpu.utils.demo_data import ca_coords, write_ca_pdb
+
+    top_small = Topology.from_file(ca_system.pdb_path)
+    dense = ["dist-@CA_1-@CA_5", "dist-@CA_2-@CA_6"]
+    ev = PlanEvaluator(compile_plan(dense, top_small))
+    assert ev._dist_selector is not None  # small topology -> matmul
+
+    # 600-atom chain with only a handful of pairs: sparse -> gather
+    big_pdb = ca_system.pdb_path + "_big.pdb"
+    write_ca_pdb(big_pdb, ca_coords(600, 1)[0])
+    top_big = Topology.from_file(big_pdb)
+    # pairs span the full chain (max referenced index > 512), few of them
+    sparse = [f"dist-@CA_{i}-@CA_{i + 580}" for i in range(1, 20)]
+    ev2 = PlanEvaluator(compile_plan(sparse, top_big))
+    assert ev2._dist_selector is None
+
+    # both strategies agree numerically
+    coords = ca_coords(600, 8, seed=3)
+    ev2_mat = PlanEvaluator(compile_plan(sparse, top_big),
+                            gather_strategy="matmul")
+    np.testing.assert_allclose(
+        np.asarray(ev2.eval_raw(coords)),
+        np.asarray(ev2_mat.eval_raw(coords)),
+        atol=1e-5,
+    )
+
+
+def test_eval_raw_subchunking_matches_single_program(ca_system, monkeypatch):
+    """A caller chunk above the compile cap is evaluated in fixed-shape
+    subchunks (tail padded+trimmed) with identical values."""
+    import numpy as np
+
+    from deep_cartograph_tpu.features.grammar import compile_plan
+    from deep_cartograph_tpu.geom.kernels import PlanEvaluator
+    from deep_cartograph_tpu.io.topology import Topology
+
+    top = Topology.from_file(ca_system.pdb_path)
+    labels = ["dist-@CA_1-@CA_5", "sin-@CA_1-@CA_2-@CA_3-@CA_4"]
+    plan = compile_plan(labels, top)
+    coords = ca_system.coords[:50]
+
+    whole = np.asarray(PlanEvaluator(plan)(coords))
+    capped = PlanEvaluator(plan)
+    capped._compile_cap = 16  # force 3 full subchunks + padded tail
+    np.testing.assert_allclose(
+        np.asarray(capped.eval_raw(coords)), whole, atol=1e-6
+    )
