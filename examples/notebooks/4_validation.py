@@ -21,24 +21,22 @@ train_sys = make_transition_system(os.path.join(OUT, "input_train"), seed=11)
 valid_sys = make_transition_system(os.path.join(OUT, "input_valid"), seed=23)
 
 banner("Featurize train + validation trajectories")
-from deep_cartograph_tpu.tools.compute_features import compute_features
+# The data package ships the reference's validation-workflow configs
+# (calpha_transitions/input/distances_config_validation.yml); drive the
+# featurization from it, exactly like the reference notebook.
+import importlib
 
-features_cfg = {
-    "plumed_settings": {
-        "traj_stride": 1,
-        "features": {
-            "distance_groups": {
-                "ca": {
-                    "first_selection": "name CA",
-                    "second_selection": "name CA",
-                    "first_stride": 1,
-                    "second_stride": 2,
-                    "skip_neigh_residues": True,
-                }
-            }
-        },
-    }
-}
+from deep_cartograph_tpu.tools.compute_features import compute_features
+from deep_cartograph_tpu.utils.common import read_configuration
+
+_data = importlib.import_module("deep_cartograph.data")
+_val_cfg = read_configuration(
+    os.path.join(
+        _data._ROOT, "calpha_transitions", "input",
+        "distances_config_validation.yml",
+    )
+)
+features_cfg = _val_cfg["compute_features"]
 train_colvars_paths = compute_features(
     configuration=features_cfg,
     trajectory_data=[train_sys.dcd_path],
