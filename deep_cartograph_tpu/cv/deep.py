@@ -430,6 +430,83 @@ class NonLinear(CVCalculator):
     def finalize_model(self) -> None:
         """Post-training hook (DeepTICA fits its output TICA layer here)."""
         self.architecture = self.build_architecture_dict()
+        self._fold_batchnorm_for_eval()
+
+    def _normalized_training_inputs(self) -> np.ndarray:
+        """Training inputs as the network core sees them (after norm_in)."""
+        x = np.asarray(self.training_data, np.float32)
+        if self.feats_norm_mode is not None:
+            x = (
+                x - np.asarray(self.features_norm_mean, np.float32)
+            ) / np.asarray(self.features_norm_range, np.float32)
+        return x
+
+    def _fold_batchnorm_for_eval(self) -> None:
+        """Fold batchnorm into the dense weights for the deployed model.
+
+        Training uses batch statistics (standard BN training behavior);
+        the deployed/eval model freezes FULL-training-set statistics and
+        folds them into the preceding Dense — deterministic projections
+        (independent of inference batch composition), meaningful
+        sensitivity Jacobians, and an exactly-exportable plain MLP. The
+        saved architecture drops the batchnorm flags accordingly.
+        """
+        from deep_cartograph_tpu.models.networks import (
+            fold_feedforward_batchnorm,
+        )
+
+        arch = self.architecture
+
+        def bn_on(opts) -> bool:
+            return any(bool(b) for b in (opts or {}).get("batchnorm", []))
+
+        kind = arch.get("kind")
+        eo = arch.get("encoder_options") or {}
+        do = arch.get("decoder_options") or {}
+        if not (bn_on(eo) or bn_on(do)):
+            return
+        xn = jnp.asarray(self._normalized_training_inputs())
+        params = dict(self.params)
+        if kind == "deep_tica":
+            params["nn"], _ = fold_feedforward_batchnorm(
+                params["nn"], arch["layers"], eo.get("activation", []),
+                eo.get("batchnorm", []), xn,
+            )
+        elif kind == "ae":
+            params["encoder"], z = fold_feedforward_batchnorm(
+                params["encoder"], arch["encoder_layers"],
+                eo.get("activation", []), eo.get("batchnorm", []), xn,
+            )
+            params["decoder"], _ = fold_feedforward_batchnorm(
+                params["decoder"], arch["decoder_layers"],
+                do.get("activation", []), do.get("batchnorm", []), z,
+            )
+        elif kind == "vae":
+            params["encoder"], h = fold_feedforward_batchnorm(
+                params["encoder"], arch["encoder_layers"],
+                eo.get("activation", []), eo.get("batchnorm", []), xn,
+            )
+            # Decoder statistics over the deterministic latent (the mean
+            # head) — the CV path the deployed model evaluates.
+            mh = params["mean_nn"]
+            z = h @ jnp.asarray(mh["kernel"]) + jnp.asarray(mh["bias"])
+            params["decoder"], _ = fold_feedforward_batchnorm(
+                params["decoder"],
+                [arch["n_cvs"]] + list(arch["decoder_layers"]),
+                do.get("activation", []), do.get("batchnorm", []), z,
+            )
+        else:
+            return
+        if eo:
+            eo["batchnorm"] = [False] * len(eo.get("batchnorm", []))
+        if do:
+            do["batchnorm"] = [False] * len(do.get("batchnorm", []))
+        self.params = params
+        self.module = self.build_module_from_architecture()
+        logger.info(
+            "Folded batchnorm (training-set statistics) into dense weights "
+            "for the deployed model."
+        )
 
     def init_params(self, rng, train_data):
         self.module = self.build_module()
@@ -716,11 +793,13 @@ class AECalculator(NonLinear):
             method=AutoEncoderCV.reconstruct,
         )
 
-    def loss_fn(self, params, batch, rng, beta):
+    def loss_fn(self, params, batch, rng, beta, train=True):
+        # train=False (validation checks) disables dropout — Lightning's
+        # model.eval() semantics.
         x_hat, xn = self.module.apply(
             {"params": params},
             batch["data"],
-            train=True,
+            train=train,
             method=AutoEncoderCV.reconstruct,
             rngs={"dropout": rng},
         )
@@ -854,13 +933,15 @@ class VAECalculator(NonLinear):
             method=VAECV.elbo_parts,
         )
 
-    def loss_fn(self, params, batch, rng, beta):
+    def loss_fn(self, params, batch, rng, beta, train=True):
+        # train=False (validation checks) disables dropout; the ELBO's
+        # reparameterization sample stays stochastic, as in mlcolvar.
         rng_drop, rng_reparam = jax.random.split(rng)
         recon, kl = self.module.apply(
             {"params": params},
             batch["data"],
             rng_reparam,
-            train=True,
+            train=train,
             method=VAECV.elbo_parts,
             rngs={"dropout": rng_drop},
         )
@@ -900,16 +981,17 @@ class VAECalculator(NonLinear):
                 )
 
 
-def deep_tica_batch_eigvals(module, params, batch, rng, reg):
+def deep_tica_batch_eigvals(module, params, batch, rng, reg, train=True):
     """Weighted batch TICA eigenvalues of the network outputs — the DeepTICA
     training objective's core (cf. reference cv_calculator.py:2507-2627).
     Module-level so benchmarks and external callers drive the exact shipped
-    loss math."""
+    loss math. train=False (validation checks) disables dropout."""
     q_t = module.apply(
-        {"params": params}, batch["data"], train=True, rngs={"dropout": rng}
+        {"params": params}, batch["data"], train=train, rngs={"dropout": rng}
     )
     q_lag = module.apply(
-        {"params": params}, batch["data_lag"], train=True, rngs={"dropout": rng}
+        {"params": params}, batch["data_lag"], train=train,
+        rngs={"dropout": rng},
     )
     w = batch["weight"][:, None]
     wsum = jnp.maximum(jnp.sum(batch["weight"]), 1e-12)
@@ -927,8 +1009,10 @@ def deep_tica_batch_eigvals(module, params, batch, rng, reg):
 def make_deep_tica_loss(module, reg: float, dim: int):
     """Trainer-compatible DeepTICA loss over `module` (−Σ eigenvalues)."""
 
-    def loss_fn(params, batch, rng, beta):
-        evals = deep_tica_batch_eigvals(module, params, batch, rng, reg)
+    def loss_fn(params, batch, rng, beta, train=True):
+        evals = deep_tica_batch_eigvals(
+            module, params, batch, rng, reg, train=train
+        )
         aux = {f"eigval_{i + 1}": evals[i] for i in range(dim)}
         return -jnp.sum(evals), aux
 
@@ -965,8 +1049,20 @@ class DeepTICACalculator(NonLinear):
         super().load_validation_data(*args, **kwargs)
         if self.validation_data is not None:
             lag = self.configuration.get("lag_time", 1)
+            # Per-trajectory blocks, like the training path: pairing the
+            # concatenation would create physically meaningless lag pairs
+            # across file boundaries that skew the validation score.
+            labels = getattr(self, "validation_data_labels", None)
+            blocks = (
+                [
+                    self.validation_data[labels == lab]
+                    for lab in np.unique(labels)
+                ]
+                if labels is not None
+                else [self.validation_data]
+            )
             self.val_x_t, self.val_x_lag = create_timelagged_dataset_multi(
-                [self.validation_data], lag
+                blocks, lag
             )
 
     def train_datasets(self):

@@ -277,13 +277,17 @@ class StreamingHTICA:
         """Project streamed blocks through the final weights."""
         # Cache the jitted projection across calls (jit caches on function
         # identity; a fresh lambda per call would recompile every time —
-        # minutes through a remote-compile service).
-        if getattr(self, "_proj_fn", None) is None or (
-            self._proj_weights_id != id(self.weights)
+        # minutes through a remote-compile service). The cache key holds a
+        # STRONG reference to the weights array and compares with `is`:
+        # id() of a freed array can be reused by a refit's new allocation,
+        # which would silently serve the old weights.
+        if (
+            getattr(self, "_proj_fn", None) is None
+            or self._proj_weights_ref is not self.weights
         ):
             w = jnp.asarray(self.weights)
             self._proj_fn = jax.jit(lambda x: x @ w)
-            self._proj_weights_id = id(self.weights)
+            self._proj_weights_ref = self.weights
         fn = self._proj_fn
         return np.concatenate(
             [np.asarray(fn(jnp.asarray(b, jnp.float32))) for b in block_iter]

@@ -143,6 +143,13 @@ class LinearCalculator(CVCalculator):
         }
         self.cv_norm_mean = (self.cv_stats["max"] + self.cv_stats["min"]) / 2
         self.cv_norm_range = (self.cv_stats["max"] - self.cv_stats["min"]) / 2
+        # Degenerate component (constant projection, e.g. a dimension past
+        # the data rank): a zero range would emit inf/NaN CVs and poison
+        # the persisted norm params + PLUMED COMBINE scale. Same clamp as
+        # NonLinear.normalize_cv.
+        self.cv_norm_range = np.where(
+            np.abs(self.cv_norm_range) < 1e-12, 1.0, self.cv_norm_range
+        )
 
     def sensitivity_analysis(self) -> None:
         """|weight| per feature per CV dimension

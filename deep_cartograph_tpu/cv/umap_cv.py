@@ -165,8 +165,15 @@ class UMAPModel:
             t = emb[tails]
             diff = h - t
             d2 = jnp.sum(diff * diff, axis=1)
-            # attraction gradient of log(1/(1+a d^{2b}))
-            grad_coef = (-2.0 * a * b * d2 ** (b - 1.0)) / (1.0 + a * d2**b)
+            # attraction gradient of log(1/(1+a d^{2b})); coincident points
+            # (duplicate frames are each other's nearest neighbors) have
+            # zero gradient — umap-learn's `dist_squared > 0` guard, which
+            # otherwise becomes 0**(b-1)=inf -> NaN across the embedding.
+            safe_d2 = jnp.maximum(d2, 1e-12)
+            grad_coef = (
+                -2.0 * a * b * safe_d2 ** (b - 1.0)
+            ) / (1.0 + a * safe_d2**b)
+            grad_coef = jnp.where(d2 > 0.0, grad_coef, 0.0)
             grad = jnp.clip(grad_coef[:, None] * diff, -4.0, 4.0)
             grad = jnp.where(accept[:, None], grad, 0.0)
             emb = emb.at[heads].add(alpha * grad)
@@ -211,7 +218,11 @@ class UMAPModel:
             t = emb_train[idx]
             diff = h - t
             d2 = jnp.sum(diff * diff, axis=-1)
-            grad_coef = (-2.0 * a * b * d2 ** (b - 1.0)) / (1.0 + a * d2**b)
+            safe_d2 = jnp.maximum(d2, 1e-12)  # same coincident-point guard
+            grad_coef = (
+                -2.0 * a * b * safe_d2 ** (b - 1.0)
+            ) / (1.0 + a * safe_d2**b)
+            grad_coef = jnp.where(d2 > 0.0, grad_coef, 0.0)
             grad = jnp.clip((w * grad_coef)[..., None] * diff, -4.0, 4.0)
             emb = emb + alpha * jnp.sum(grad, axis=1)
             return emb, None
@@ -264,6 +275,10 @@ class UMAP(CVCalculator):
         self.cv_stats = {"min": emb.min(axis=0), "max": emb.max(axis=0)}
         self.cv_norm_mean = (self.cv_stats["max"] + self.cv_stats["min"]) / 2
         self.cv_norm_range = (self.cv_stats["max"] - self.cv_stats["min"]) / 2
+        # degenerate-range clamp (same contract as the other calculators)
+        self.cv_norm_range = np.where(
+            np.abs(self.cv_norm_range) < 1e-12, 1.0, self.cv_norm_range
+        )
 
     def project_data(self, data: np.ndarray, normalize_data: bool = True) -> np.ndarray:
         if self.cv is None:
@@ -285,14 +300,22 @@ class UMAP(CVCalculator):
         self.create_output_folders()
         if cv_dimension:
             self.cv_dimension = cv_dimension
-        self.compute_cv()
-        self.set_labels()
-        if self.cv is None:
-            return None
-        self.normalize_cv()
-        projected = (self.cv.embedding_ - self.cv_norm_mean) / self.cv_norm_range
-        self.save_model()
-        self.sensitivity_analysis()
+        # Same small-workload routing as base.run: the UMAP fit dispatches
+        # many distinct XLA programs (kNN, sigma search, layout scan) whose
+        # per-program remote compile latency dwarfs small-fit compute.
+        from deep_cartograph_tpu.utils.device import maybe_cpu
+
+        with maybe_cpu(float(np.asarray(self.training_data).size) * 100):
+            self.compute_cv()
+            self.set_labels()
+            if self.cv is None:
+                return None
+            self.normalize_cv()
+            projected = (
+                self.cv.embedding_ - self.cv_norm_mean
+            ) / self.cv_norm_range
+            self.save_model()
+            self.sensitivity_analysis()
         return pd.DataFrame(projected, columns=self.cv_labels)
 
     def save_weights(self, weights_path: str) -> None:

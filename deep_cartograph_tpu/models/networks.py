@@ -83,6 +83,51 @@ class FeedForward(nn.Module):
         return x
 
 
+def fold_feedforward_batchnorm(
+    params: dict,
+    layers: Sequence[int],
+    activation: Sequence[Optional[str]],
+    batchnorm: Sequence[bool],
+    x: jnp.ndarray,
+):
+    """Fold batchnorm layers into the preceding Dense using DATASET
+    statistics computed over `x` (the layer inputs the deployed model will
+    see), returning (plain dense-only params, outputs of the folded net).
+
+    BN at eval is the affine y' = (y - mu)/sqrt(var+eps)*scale + bias,
+    which composes with the preceding Dense into W' = W*g, b' = (b-mu)*g +
+    bias with g = scale/sqrt(var+eps). The folded net is deterministic,
+    batch-size independent, differentiable for sensitivity analysis, and
+    exactly exportable to TorchScript — the standard inference-time BN
+    treatment. Statistics are full-training-set (one pass), the dataset
+    analogue of torch's running averages.
+    """
+    import numpy as np
+
+    new = {}
+    x = jnp.asarray(x, jnp.float32)
+    n_transitions = len(layers) - 1
+    for i in range(n_transitions):
+        d = params[f"dense_{i}"]
+        kernel = jnp.asarray(d["kernel"])
+        bias = jnp.asarray(d["bias"])
+        y = x @ kernel + bias
+        if i < len(batchnorm) and batchnorm[i]:
+            mu = jnp.mean(y, axis=0)
+            var = jnp.var(y, axis=0)
+            g = jnp.asarray(params[f"bn_scale_{i}"]) / jnp.sqrt(var + 1e-5)
+            kernel = kernel * g[None, :]
+            bias = (bias - mu) * g + jnp.asarray(params[f"bn_bias_{i}"])
+            y = x @ kernel + bias
+        new[f"dense_{i}"] = {
+            "kernel": np.asarray(kernel),
+            "bias": np.asarray(bias),
+        }
+        act = activation[i] if i < len(activation) else None
+        x = ACTIVATIONS[act](y)
+    return new, x
+
+
 def _pad_options(options: dict, n_transitions: int) -> dict:
     """Extend per-layer option lists to the number of transitions."""
     out = {}

@@ -78,6 +78,20 @@ def build_torch_cv(architecture: Dict, params: Dict):
     import torch.nn as tnn
 
     kind = architecture["kind"]
+    # Models trained here fold batchnorm into the dense weights before
+    # export (cv/deep.py _fold_batchnorm_for_eval); an architecture still
+    # carrying active batchnorm flags (e.g. a legacy zip) cannot be
+    # exported as Linear+activation — fail loudly rather than deploy a
+    # silently different CV.
+    for opts_key in ("encoder_options", "decoder_options"):
+        opts = architecture.get(opts_key) or {}
+        if any(bool(b) for b in opts.get("batchnorm", [])):
+            raise ValueError(
+                "TorchScript export of un-folded batchnorm layers is not "
+                f"supported ({opts_key} has active batchnorm). Re-finalize "
+                "the model with this version (the trainer folds batchnorm "
+                "into the dense weights) before exporting."
+            )
 
     class DeployedCV(tnn.Module):
         def __init__(self):

@@ -268,6 +268,22 @@ class Trainer:
         config: TrainerConfig,
     ):
         self.loss_fn = loss_fn
+        # Validation must run in EVAL mode (dropout off) — the reference's
+        # Lightning validation does (model.eval()). Losses that expose a
+        # `train` kwarg get it pinned False for every validation check;
+        # legacy losses without it are called unchanged.
+        import inspect
+        from functools import partial as _partial
+
+        try:
+            accepts_train = (
+                "train" in inspect.signature(loss_fn).parameters
+            )
+        except (TypeError, ValueError):
+            accepts_train = False
+        self._eval_loss_fn = (
+            _partial(loss_fn, train=False) if accepts_train else loss_fn
+        )
         self.config = config
         # Compilation cache: the optimizer and the jitted epoch/eval programs
         # are keyed by (steps_per_epoch, n_valid) so repeated fit() calls on
@@ -370,11 +386,13 @@ class Trainer:
                 jnp.mean, auxes
             )
 
+        eval_loss_fn = self._eval_loss_fn
+
         @jax.jit
         def eval_step(params, data, rng, beta):
             batch = dict(data)
             batch["weight"] = jnp.ones(n_valid, jnp.float32)
-            loss, aux = loss_fn(params, batch, rng, beta)
+            loss, aux = eval_loss_fn(params, batch, rng, beta)
             return loss, aux
 
         self._compiled_cache[key] = (epoch_step, eval_step)
@@ -584,6 +602,7 @@ class Trainer:
         if key in self._compiled_cache:
             return self._compiled_cache[key]
         loss_fn = self.loss_fn
+        eval_loss_fn = self._eval_loss_fn
 
         def one_chunk(params, opt_state, data, vdata, gbatches, weights, rng,
                       vidx, betas, eval_mask):
@@ -629,7 +648,7 @@ class Trainer:
                 # (cv/deep.py builds valid_idx = arange(n_valid) then).
                 batch = {k: v[vidx] for k, v in vdata.items()}
                 batch["weight"] = jnp.ones(n_valid, jnp.float32)
-                valid_loss, valid_aux = loss_fn(params, batch, sub, beta)
+                valid_loss, valid_aux = eval_loss_fn(params, batch, sub, beta)
                 return (params, opt_state, rng), (
                     train_loss, valid_loss, valid_aux, params
                 )

@@ -25,6 +25,46 @@ from deep_cartograph_tpu.parallel.mesh import (
 )
 
 
+# Jitted shard_map programs cached per mesh: a fresh closure per call
+# would re-trace and recompile identical-shape programs on every
+# invocation (minutes each through a remote-compile service).
+_PROGRAM_CACHE: dict = {}
+
+
+def _covariance_programs(mesh: Mesh):
+    key = ("cov", mesh)
+    if key not in _PROGRAM_CACHE:
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS)),
+            out_specs=(P(), P(), P()),
+        )
+        def partial_moments(a, b, wt):
+            wcol = wt[:, None]
+            s_a = jax.lax.psum(jnp.sum(a * wcol, axis=0), FRAME_AXIS)
+            s_b = jax.lax.psum(jnp.sum(b * wcol, axis=0), FRAME_AXIS)
+            count = jax.lax.psum(jnp.sum(wt), FRAME_AXIS)
+            return s_a, s_b, count
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS), P()),
+            out_specs=(P(), P()),
+        )
+        def partial_cov(a, b, wt, mean):
+            ac = (a - mean) * wt[:, None]
+            bc = (b - mean) * wt[:, None]
+            c0 = jax.lax.psum(ac.T @ ac, FRAME_AXIS)
+            ctau = jax.lax.psum(ac.T @ bc + bc.T @ ac, FRAME_AXIS)
+            return c0, ctau
+
+        _PROGRAM_CACHE[key] = (jax.jit(partial_moments), jax.jit(partial_cov))
+    return _PROGRAM_CACHE[key]
+
+
 def sharded_covariances(
     x_t: np.ndarray,
     x_lag: np.ndarray,
@@ -50,36 +90,10 @@ def sharded_covariances(
     xl_d = jax.device_put(xl, sharding)
     w_d = jax.device_put(w, sharding)
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS)),
-        out_specs=(P(), P(), P()),
-    )
-    def partial_moments(a, b, wt):
-        wcol = wt[:, None]
-        s_a = jax.lax.psum(jnp.sum(a * wcol, axis=0), FRAME_AXIS)
-        s_b = jax.lax.psum(jnp.sum(b * wcol, axis=0), FRAME_AXIS)
-        count = jax.lax.psum(jnp.sum(wt), FRAME_AXIS)
-        return s_a, s_b, count
-
-    s_a, s_b, count = jax.jit(partial_moments)(xt_d, xl_d, w_d)
+    moments_fn, cov_fn = _covariance_programs(mesh)
+    s_a, s_b, count = moments_fn(xt_d, xl_d, w_d)
     mu = s_a / count
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS), P()),
-        out_specs=(P(), P()),
-    )
-    def partial_cov(a, b, wt, mean):
-        ac = (a - mean) * wt[:, None]
-        bc = (b - mean) * wt[:, None]
-        c0 = jax.lax.psum(ac.T @ ac, FRAME_AXIS)
-        ctau = jax.lax.psum(ac.T @ bc + bc.T @ ac, FRAME_AXIS)
-        return c0, ctau
-
-    c0, ctau = jax.jit(partial_cov)(xt_d, xl_d, w_d, mu)
+    c0, ctau = cov_fn(xt_d, xl_d, w_d, mu)
     c0 = np.asarray(c0) / float(count)
     ctau = 0.5 * np.asarray(ctau) / float(count)
     return c0, ctau
@@ -96,32 +110,37 @@ def lag_pairs_with_halo(
     `lag_time` rows of the last shard (returned weights do this).
     """
     n_dev = mesh.devices.size
+    key = ("halo", mesh, int(lag_time))
+    if key not in _PROGRAM_CACHE:
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(FRAME_AXIS),),
-        out_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS)),
-    )
-    def build(local):
-        # halo: first lag rows of the RIGHT neighbor
-        halo = jax.lax.ppermute(
-            local[:lag_time],
-            FRAME_AXIS,
-            perm=[((i + 1) % n_dev, i) for i in range(n_dev)],
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(FRAME_AXIS),),
+            out_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS)),
         )
-        extended = jnp.concatenate([local, halo], axis=0)
-        x_t = local
-        x_lag = jax.lax.dynamic_slice_in_dim(extended, lag_time, local.shape[0], 0)
-        # weights: last shard's tail pairs wrap around -> mask them
-        idx = jax.lax.axis_index(FRAME_AXIS)
-        row = jnp.arange(local.shape[0])
-        valid = jnp.where(
-            idx == n_dev - 1, row < local.shape[0] - lag_time, True
-        ).astype(local.dtype)
-        return x_t, x_lag, valid
+        def build(local):
+            # halo: first lag rows of the RIGHT neighbor
+            halo = jax.lax.ppermute(
+                local[:lag_time],
+                FRAME_AXIS,
+                perm=[((i + 1) % n_dev, i) for i in range(n_dev)],
+            )
+            extended = jnp.concatenate([local, halo], axis=0)
+            x_t = local
+            x_lag = jax.lax.dynamic_slice_in_dim(
+                extended, lag_time, local.shape[0], 0
+            )
+            # weights: last shard's tail pairs wrap around -> mask them
+            idx = jax.lax.axis_index(FRAME_AXIS)
+            row = jnp.arange(local.shape[0])
+            valid = jnp.where(
+                idx == n_dev - 1, row < local.shape[0] - lag_time, True
+            ).astype(local.dtype)
+            return x_t, x_lag, valid
 
-    return build(frames)
+        _PROGRAM_CACHE[key] = jax.jit(build)
+    return _PROGRAM_CACHE[key](frames)
 
 
 def sharded_feature_matrix_stats(
@@ -137,29 +156,33 @@ def sharded_feature_matrix_stats(
     x_d = jax.device_put(x, sharding)
     w_d = jax.device_put(w, sharding)
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
-        out_specs=(P(), P(), P(), P()),
-    )
-    def stats(xs, wt):
-        wcol = wt[:, None]
-        count = jax.lax.psum(jnp.sum(wt), FRAME_AXIS)
-        s1 = jax.lax.psum(jnp.sum(xs * wcol, axis=0), FRAME_AXIS)
-        s2 = jax.lax.psum(jnp.sum(xs * xs * wcol, axis=0), FRAME_AXIS)
-        big = jnp.float32(3.4e38)
-        xmin = jax.lax.pmin(
-            jnp.min(jnp.where(wcol > 0, xs, big), axis=0), FRAME_AXIS
-        )
-        xmax = jax.lax.pmax(
-            jnp.max(jnp.where(wcol > 0, xs, -big), axis=0), FRAME_AXIS
-        )
-        mean = s1 / count
-        var = jnp.maximum(s2 / count - mean * mean, 0.0)
-        return mean, jnp.sqrt(var), xmin, xmax
+    key = ("stats", mesh)
+    if key not in _PROGRAM_CACHE:
 
-    mean, std, xmin, xmax = jax.jit(stats)(x_d, w_d)
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
+            out_specs=(P(), P(), P(), P()),
+        )
+        def stats(xs, wt):
+            wcol = wt[:, None]
+            count = jax.lax.psum(jnp.sum(wt), FRAME_AXIS)
+            s1 = jax.lax.psum(jnp.sum(xs * wcol, axis=0), FRAME_AXIS)
+            s2 = jax.lax.psum(jnp.sum(xs * xs * wcol, axis=0), FRAME_AXIS)
+            big = jnp.float32(3.4e38)
+            xmin = jax.lax.pmin(
+                jnp.min(jnp.where(wcol > 0, xs, big), axis=0), FRAME_AXIS
+            )
+            xmax = jax.lax.pmax(
+                jnp.max(jnp.where(wcol > 0, xs, -big), axis=0), FRAME_AXIS
+            )
+            mean = s1 / count
+            var = jnp.maximum(s2 / count - mean * mean, 0.0)
+            return mean, jnp.sqrt(var), xmin, xmax
+
+        _PROGRAM_CACHE[key] = jax.jit(stats)
+    mean, std, xmin, xmax = _PROGRAM_CACHE[key](x_d, w_d)
     return {
         "mean": np.asarray(mean, np.float64),
         "std": np.asarray(std, np.float64),

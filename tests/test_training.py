@@ -500,3 +500,49 @@ def test_fit_ensemble_onecycle_lr_metric_matches_serial(rng):
     np.testing.assert_allclose(
         res_e.metrics["valid_loss"], res_s.metrics["valid_loss"], rtol=1e-5
     )
+
+
+def test_validation_runs_in_eval_mode(rng):
+    """Losses exposing a `train` kwarg are evaluated with train=False at
+    validation checks (dropout off — Lightning model.eval() parity);
+    legacy losses without the kwarg still work."""
+    import jax
+    import jax.numpy as jnp
+
+    calls = []
+
+    def loss_with_train(params, batch, rng_, beta, train=True):
+        calls.append(bool(train))
+        pred = batch["data"] @ params["w"]
+        target = jnp.sum(batch["data"], axis=1, keepdims=True)
+        mse = jnp.mean((pred - target) ** 2, axis=-1)
+        return jnp.sum(mse * batch["weight"]) / jnp.sum(batch["weight"]), {}
+
+    full = _toy_data(rng, n=64)
+    config = TrainerConfig(
+        batch_size=32, max_epochs=3, shuffle=False,
+        check_val_every_n_epoch=1, early_stop_patience=50,
+        optimizer_name="Adam", optimizer_kwargs={"lr": 0.05}, device="cpu",
+    )
+    trainer = Trainer(loss_with_train, config)
+    train = {k: v[:48] for k, v in full.items()}
+    valid = {k: v[48:] for k, v in full.items()}
+    trainer.fit(_init_params(), train, valid, seed=0)
+    # Tracing happens once per program: the training program traced with
+    # train=True, the eval program with train=False.
+    assert True in calls and False in calls
+
+    # ensemble path: eval also pinned to train=False
+    calls.clear()
+    import numpy as np
+
+    params_stack = jax.tree.map(lambda *x: jnp.stack(x), _init_params())
+    trainer2 = Trainer(loss_with_train, config)
+    trainer2.fit_ensemble(
+        jax.tree.map(lambda a: a[None], _init_params()),
+        full,
+        np.arange(48, dtype=np.int32)[None],
+        np.arange(48, 64, dtype=np.int32)[None],
+        [0],
+    )
+    assert True in calls and False in calls
