@@ -210,6 +210,12 @@ def _scores_device(data, labels, k: int, block: int):
 def clustering_scores(
     data: np.ndarray, labels: np.ndarray
 ) -> Tuple[float, float, float]:
+    labels = np.asarray(labels)
+    # HDBSCAN noise points carry label -1; a raw gather would wrap them to
+    # the LAST cluster, silently skewing all three scores. sklearn treats
+    # -1 as its own label — do the same.
+    if labels.min() < 0:
+        labels = np.where(labels < 0, labels.max() + 1, labels)
     k = int(labels.max()) + 1
     n = int(np.asarray(data).shape[0])
     # ~64M f32 (256 MB) per distance tile; whole matrix for small n

@@ -21,6 +21,17 @@ from deep_cartograph_tpu.io.traj import read_traj
 logger = logging.getLogger(__name__)
 
 
+def _require_atoms(idx, selection: str, context: str):
+    """Empty selections poison everything downstream with NaN (mean over a
+    zero-length axis); fail like the reference does (md.py:983 logs
+    'Selection matched 0 atoms' and exits)."""
+    if len(idx) == 0:
+        raise ValueError(
+            f"Selection '{selection}' matched 0 atoms ({context})."
+        )
+    return idx
+
+
 def _mapped_resid_selection(
     selection: str, resids: List[int]
 ) -> str:
@@ -52,10 +63,22 @@ def RMSD(
 
     ref_resids = [p[0] for p in pairs]
     sim_resids = [p[1] for p in pairs]
-    fit_ref = ref_topology.select(_mapped_resid_selection(fitting_selection, ref_resids))
-    fit_sim = topology.select(_mapped_resid_selection(fitting_selection, sim_resids))
-    ana_ref = ref_topology.select(_mapped_resid_selection(selection, ref_resids))
-    ana_sim = topology.select(_mapped_resid_selection(selection, sim_resids))
+    fit_ref = _require_atoms(
+        ref_topology.select(_mapped_resid_selection(fitting_selection, ref_resids)),
+        fitting_selection, "RMSD fit (reference)",
+    )
+    fit_sim = _require_atoms(
+        topology.select(_mapped_resid_selection(fitting_selection, sim_resids)),
+        fitting_selection, "RMSD fit (trajectory)",
+    )
+    ana_ref = _require_atoms(
+        ref_topology.select(_mapped_resid_selection(selection, ref_resids)),
+        selection, "RMSD analysis (reference)",
+    )
+    ana_sim = _require_atoms(
+        topology.select(_mapped_resid_selection(selection, sim_resids)),
+        selection, "RMSD analysis (trajectory)",
+    )
     if len(ana_ref) == 0 or len(ana_sim) == 0:
         logger.error("Selections resulted in zero atoms.")
         return np.array([])
@@ -102,8 +125,12 @@ def RMSF(
     residue."""
     topology = Topology.from_file(topology_path)
     coords = read_traj(trajectory_path, topology_path)
-    fit_idx = topology.select(fitting_selection)
-    rmsf_idx = topology.select(selection)
+    fit_idx = _require_atoms(
+        topology.select(fitting_selection), fitting_selection, "RMSF fit"
+    )
+    rmsf_idx = _require_atoms(
+        topology.select(selection), selection, "RMSF analysis"
+    )
 
     from deep_cartograph_tpu.utils.device import maybe_cpu
 

@@ -55,6 +55,11 @@ def interpolate_trajectory(
 
     topology = Topology.from_file(topology_file)
     sel_idx = topology.select(atom_selection)
+    if len(sel_idx) == 0:
+        raise ValueError(
+            f"Selection '{atom_selection}' matched 0 atoms; refusing to "
+            "write an empty interpolated trajectory."
+        )
     if prepare_trajectory:
         from deep_cartograph_tpu.geom.pbc import prepare_frames
         from deep_cartograph_tpu.io.boxes import read_box

@@ -77,14 +77,19 @@ def _read_xtc_boxes(path: str) -> Optional[np.ndarray]:
         boxes.append(np.diag(m))
         if np.abs(m - np.diag(np.diag(m))).max() > 1e-6:
             skewed = True
-        # advance exactly like count_xtc_frames
+        # advance exactly like count_xtc_frames (incl. its corrupt-header
+        # guards: negative sizes would walk the offset backwards forever)
         lsize_off = off + 16 + 36
         (lsize,) = struct.unpack_from(">i", data, lsize_off)
         coord_off = lsize_off + 4
+        if lsize < 0:
+            break
         if lsize <= 9:
             off = coord_off + lsize * 12
         else:
             (nbytes,) = struct.unpack_from(">i", data, coord_off + 32)
+            if nbytes < 0:
+                break
             off = coord_off + 36 + (nbytes + 3) // 4 * 4
     if not boxes:
         return None

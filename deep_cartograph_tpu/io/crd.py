@@ -11,19 +11,48 @@ from typing import Optional
 import numpy as np
 
 
-def read_crd(path: str, n_atoms: int, has_box: bool = False) -> np.ndarray:
+def read_crd(
+    path: str, n_atoms: int, has_box: Optional[bool] = None
+) -> np.ndarray:
     """Read an Amber mdcrd file as (n_frames, n_atoms, 3) Angstroms.
 
     mdcrd needs the atom count from the topology (the file carries none).
+    has_box=None auto-detects periodic-box records (3 extra values per
+    frame, the common case for PBC runs): a boxed file's total value count
+    divides by n_atoms*3+3; when both layouts divide, the line structure
+    decides (box records are short 3-value lines where coordinate rows
+    are full 10-value rows).
     """
     with open(path) as fh:
         lines = fh.readlines()
     values: list = []
+    line_lengths: list = []
     for line in lines[1:]:  # first line is the title
+        n_before = len(values)
         for i in range(0, len(line.rstrip("\n")), 8):
             chunk = line[i : i + 8].strip()
             if chunk:
                 values.append(float(chunk))
+        if len(values) > n_before:
+            line_lengths.append(len(values) - n_before)
+    if has_box is None:
+        plain = n_atoms * 3
+        boxed = plain + 3
+        div_plain = len(values) % plain == 0
+        div_boxed = len(values) % boxed == 0
+        if div_boxed and not div_plain:
+            has_box = True
+        elif div_plain and not div_boxed:
+            has_box = False
+        else:
+            # Ambiguous counts: the box record is a lone 3-value line on
+            # its OWN line right after each frame's coordinate rows
+            # (ceil(plain/10) of them). Inspect that line.
+            coord_rows = (plain + 9) // 10
+            has_box = (
+                len(line_lengths) > coord_rows
+                and line_lengths[coord_rows] == 3
+            )
     per_frame = n_atoms * 3 + (3 if has_box else 0)
     n_frames = len(values) // per_frame
     if n_frames == 0:

@@ -119,11 +119,18 @@ def read_dcd(
     frame_bytes = cell_bytes + 3 * coord_rec
 
     out = np.empty((len(frame_ids), n_atoms, 3), dtype=np.float32)
+    if len(frame_ids) == 0:
+        return out
+    # Read only the byte range spanning the requested frames — chunked
+    # callers (iter_dcd_chunks fallback) would otherwise re-read the WHOLE
+    # file once per chunk (O(file * n_chunks) disk traffic).
+    first = int(frame_ids[0])
+    last = int(frame_ids[-1]) + 1
     with open(path, "rb") as fh:
-        raw = fh.read()
-    body = raw[header_size:]
+        fh.seek(header_size + first * frame_bytes)
+        body = fh.read((last - first) * frame_bytes)
     for k, fi in enumerate(frame_ids):
-        base = int(fi) * frame_bytes + cell_bytes
+        base = (int(fi) - first) * frame_bytes + cell_bytes
         for axis in range(3):
             off = base + axis * coord_rec + 4
             out[k, :, axis] = np.frombuffer(body, dtype=f32, count=n_atoms, offset=off)

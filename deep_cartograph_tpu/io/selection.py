@@ -178,7 +178,11 @@ class _Parser:
         if tok == "chainid":
             return self._match_strings(top.chain_ids, self._collect_values())
         if tok in ("element", "type"):
-            return self._match_strings(top.elements, self._collect_values())
+            # Element symbols match case-insensitively ("Cl" == "CL" ==
+            # "cl") — PDB columns and guessed elements vary in case.
+            values = [v.upper() for v in self._collect_values()]
+            upper = np.asarray([str(e).upper() for e in top.elements])
+            return self._match_strings(upper, values)
 
         raise ValueError(f"Unsupported selection keyword: {tok!r}")
 

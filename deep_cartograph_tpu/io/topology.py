@@ -208,6 +208,18 @@ class Topology:
 # PDB parsing / writing
 # ---------------------------------------------------------------------------
 
+# Atom names that ARE two-letter elements when they stand alone (ions and
+# common hetero atoms). Deliberately excludes ambiguous protein names:
+# CA (C-alpha vs calcium), HG/HE/HB (hydrogens vs Hg/He), CD/CE/NE/ND
+# (sidechain atoms vs Cd/Ce/Ne/Nd) — those stay single-letter guesses,
+# matching MDAnalysis's conservative table.
+_TWO_LETTER_ELEMENTS = {
+    "CL": "CL", "BR": "BR", "MG": "MG", "FE": "FE", "ZN": "ZN",
+    "MN": "MN", "CU": "CU", "NI": "NI", "NA": "NA", "LI": "LI",
+    "RB": "RB", "CS": "CS", "SR": "SR", "BA": "BA", "IOD": "I",
+}
+
+
 def _guess_element(name: str) -> str:
     stripped = name.strip()
     if not stripped:
@@ -218,8 +230,10 @@ def _guess_element(name: str) -> str:
         i += 1
     if i >= len(stripped):
         return ""
-    first = stripped[i]
-    return first.upper()
+    rest = stripped[i:].upper()
+    if rest in _TWO_LETTER_ELEMENTS:
+        return _TWO_LETTER_ELEMENTS[rest]
+    return rest[0]
 
 
 def parse_pdb(path: str, model: int = 1) -> Topology:

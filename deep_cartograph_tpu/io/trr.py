@@ -37,6 +37,11 @@ def _read_frame_header(data: bytes, off: int):
     if magic != _MAGIC:
         raise TRRError(f"Bad TRR magic {magic} at offset {off}")
     off += 4
+    # GROMACS trn layout: slen int (strlen+1 of "GMX_trn_file"), then the
+    # XDR string itself ([byte length][payload padded to 4]).
+    if off + 4 > len(data):
+        raise TRRError(f"Truncated TRR version field at offset {off}")
+    off += 4  # slen
     _, off = _xdr_string(data, off)
     if off + 13 * 4 > len(data):
         raise TRRError(f"Truncated TRR frame header at offset {off}")
@@ -46,6 +51,17 @@ def _read_frame_header(data: bytes, off: int):
         ir_size, e_size, box_size, vir_size, pres_size, top_size, sym_size,
         x_size, v_size, f_size, natoms, step, nre,
     ) = ints
+    # Corrupt negative payload sizes would walk the offset BACKWARDS in
+    # the frame loops (a non-terminating scan), not just misread.
+    if natoms < 0 or any(
+        s < 0
+        for s in (ir_size, e_size, box_size, vir_size, pres_size,
+                  top_size, sym_size, x_size, v_size, f_size)
+    ):
+        raise TRRError(
+            f"Corrupt TRR frame header (negative payload size) at "
+            f"offset {off}"
+        )
     # Floating point width inferred from box/x payload sizes.
     if box_size:
         double = box_size == 9 * 8
@@ -140,11 +156,12 @@ def write_trr(path: str, coords: np.ndarray, timestep_ps: float = 1.0) -> None:
         for f in range(n_frames):
             x_bytes = coords[f].astype(">f4").tobytes()
             fh.write(struct.pack(">i", _MAGIC))
-            # XDR string: length including NUL, padded payload
-            n = len(version) + 1
-            padded = (n + 3) // 4 * 4
-            fh.write(struct.pack(">i", n))
-            fh.write(version.ljust(padded, b"\x00"))
+            # GROMACS trn version section: slen (strlen+1) int, then the
+            # XDR string ([byte length][payload padded to 4]) — the layout
+            # GROMACS/MDAnalysis/VMD parse; 12 bytes needs no padding.
+            fh.write(struct.pack(">i", len(version) + 1))
+            fh.write(struct.pack(">i", len(version)))
+            fh.write(version)
             fh.write(
                 struct.pack(
                     ">13i",

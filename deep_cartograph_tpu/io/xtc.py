@@ -301,11 +301,21 @@ def count_xtc_frames(path: str) -> int:
         lsize_off = off + 16 + 36
         (lsize,) = struct.unpack_from(">i", data, lsize_off)
         coord_off = lsize_off + 4
+        if lsize < 0:
+            raise XTCError(
+                f"Corrupt XTC frame header (lsize={lsize}) at offset "
+                f"{off} in {path}"
+            )
         if lsize <= 9:
             off = coord_off + lsize * 12
         else:
             # precision + minint*3 + maxint*3 + smallidx = 8 ints, then nbytes
             (nbytes,) = struct.unpack_from(">i", data, coord_off + 32)
+            if nbytes < 0:
+                raise XTCError(
+                    f"Corrupt XTC frame header (nbytes={nbytes}) at "
+                    f"offset {off} in {path}"
+                )
             off = coord_off + 36 + (nbytes + 3) // 4 * 4
         count += 1
     return count

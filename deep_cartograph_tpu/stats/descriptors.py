@@ -45,16 +45,19 @@ def _entropy_scatter(features: jnp.ndarray, num_bins: int = 100) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("num_bins",))
 def _entropy_scan(features: jnp.ndarray, num_bins: int = 100) -> jnp.ndarray:
     """Histogram via a scan over bins: each step is one fused compare+reduce
-    pass over int8 bin indices — HBM-bound and scatter-free, ~50x faster than
-    the scatter form on TPU (scatters serialize on the VPU)."""
+    pass over narrow bin indices — HBM-bound and scatter-free, ~50x faster
+    than the scatter form on TPU (scatters serialize on the VPU). int16
+    indices keep the narrow-dtype bandwidth win while supporting any
+    practical bin count (int8 silently wraps past 127 bins)."""
     n, n_feat = features.shape
-    idx = _bin_indices(features, num_bins).astype(jnp.int8)
+    dtype = jnp.int8 if num_bins <= 127 else jnp.int16
+    idx = _bin_indices(features, num_bins).astype(dtype)
 
     def body(_, b):
         return None, jnp.sum((idx == b).astype(jnp.float32), axis=0)
 
     _, counts = jax.lax.scan(
-        body, None, jnp.arange(num_bins, dtype=jnp.int8)
+        body, None, jnp.arange(num_bins, dtype=dtype)
     )  # (num_bins, n_feat)
     return _entropy_from_counts(counts.T, n)
 

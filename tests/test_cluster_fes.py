@@ -169,3 +169,24 @@ def test_fes_2d_shape_and_min():
     # minimum near the center of the grid
     imin = np.unravel_index(np.argmin(fes), fes.shape)
     assert 10 < imin[0] < 30 and 10 < imin[1] < 30
+
+
+def test_clustering_scores_treats_noise_as_own_label(rng):
+    """HDBSCAN-style -1 noise labels form their own cluster in the validity
+    scores (sklearn semantics) instead of wrapping onto the last cluster."""
+    import numpy as np
+
+    from deep_cartograph_tpu.cluster.clustering import clustering_scores
+
+    pts = np.concatenate([
+        rng.normal(0, 0.1, (40, 2)),
+        rng.normal(5, 0.1, (40, 2)),
+        rng.normal([2.5, 10.0], 0.1, (5, 2)),  # "noise" far away
+    ]).astype(np.float32)
+    labels_noise = np.array([0] * 40 + [1] * 40 + [-1] * 5)
+    labels_remap = np.array([0] * 40 + [1] * 40 + [2] * 5)
+    np.testing.assert_allclose(
+        clustering_scores(pts, labels_noise),
+        clustering_scores(pts, labels_remap),
+        rtol=1e-6,
+    )

@@ -181,3 +181,21 @@ def test_transfer_aware_stats_routing(rng, monkeypatch):
     )
     np.testing.assert_allclose(e1, np.asarray(e2), atol=1e-6)
     np.testing.assert_allclose(s1, np.asarray(s2), atol=1e-6)
+
+
+def test_entropy_supports_more_than_127_bins(rng):
+    """The scan histogram's narrow index dtype must not wrap above 127 bins
+    (int8 regression): scan and numpy histograms agree at 256 bins."""
+    import numpy as np
+
+    from deep_cartograph_tpu.stats.descriptors import shannon_entropy
+
+    x = rng.standard_normal((400, 6)).astype(np.float32)
+    got = shannon_entropy(x, num_bins=256)
+    expect = []
+    for j in range(x.shape[1]):
+        counts, _ = np.histogram(x[:, j], bins=256)
+        p = counts / len(x)
+        p = p[p > 0]
+        expect.append(-np.sum(p * np.log2(p)))
+    np.testing.assert_allclose(got, expect, atol=1e-3)

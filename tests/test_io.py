@@ -328,3 +328,130 @@ def test_count_trr_frames_header_walk(tmp_path):
     write_trr(path, coords)
     assert count_trr_frames(path) == 17
     assert get_num_frames(path) == 17
+
+
+def test_trr_writes_gromacs_version_section(tmp_path, rng):
+    """write_trr emits the GROMACS trn layout: magic, slen=13 (strlen+1),
+    then the XDR string [len=12]['GMX_trn_file'] — the byte sequence
+    GROMACS/MDAnalysis/VMD parse (round-trip tests alone can't prove the
+    external contract)."""
+    import struct
+
+    coords = rng.standard_normal((2, 5, 3)).astype(np.float32)
+    path = str(tmp_path / "fmt.trr")
+    write_trr(path, coords)
+    raw = open(path, "rb").read()
+    magic, slen, xlen = struct.unpack_from(">3i", raw, 0)
+    assert magic == 1993
+    assert slen == 13  # strlen("GMX_trn_file") + 1
+    assert xlen == 12
+    assert raw[12:24] == b"GMX_trn_file"
+    np.testing.assert_allclose(read_trr(path), coords, atol=1e-4)
+
+
+def test_trr_rejects_negative_payload_sizes(tmp_path, rng):
+    import struct
+
+    from deep_cartograph_tpu.io.trr import TRRError, count_trr_frames
+
+    coords = rng.standard_normal((2, 5, 3)).astype(np.float32)
+    path = str(tmp_path / "bad.trr")
+    write_trr(path, coords)
+    raw = bytearray(open(path, "rb").read())
+    # corrupt the second frame's x_size (header: magic+4+4+12 then 13 ints;
+    # x_size is the 8th int) to a negative value
+    frame_bytes = len(raw) // 2
+    x_size_off = frame_bytes + 4 + 4 + 12 + 7 * 4
+    struct.pack_into(">i", raw, x_size_off, -100)
+    open(path, "wb").write(bytes(raw))
+    import pytest as _pytest
+
+    with _pytest.raises(TRRError):
+        count_trr_frames(path)
+
+
+def test_xtc_count_rejects_corrupt_header_instead_of_looping(tmp_path, rng):
+    import struct
+
+    from deep_cartograph_tpu.io.xtc import (
+        XTCError,
+        count_xtc_frames,
+        write_xtc,
+    )
+
+    coords = rng.standard_normal((3, 12, 3)).astype(np.float32) * 5
+    path = str(tmp_path / "bad.xtc")
+    write_xtc(path, coords)
+    raw = bytearray(open(path, "rb").read())
+    # negative nbytes in the FIRST frame's compressed-size field
+    lsize_off = 16 + 36
+    struct.pack_into(">i", raw, lsize_off + 4 + 32, -172)
+    open(path, "wb").write(bytes(raw))
+    import pytest as _pytest
+
+    with _pytest.raises(XTCError):
+        count_xtc_frames(path)
+
+
+def test_crd_box_autodetection(tmp_path, rng):
+    """Boxed Amber mdcrd files (3 extra values per frame) parse without the
+    box triples shifting subsequent frames."""
+    from deep_cartograph_tpu.io.crd import read_crd
+
+    n_atoms, n_frames = 11, 4
+    coords = (rng.standard_normal((n_frames, n_atoms, 3)) * 4).astype(
+        np.float32
+    )
+    path = str(tmp_path / "boxed.crd")
+    with open(path, "w") as fh:
+        fh.write("boxed mdcrd\n")
+        for f in range(n_frames):
+            flat = coords[f].reshape(-1)
+            for i in range(0, len(flat), 10):
+                fh.write(
+                    "".join(f"{v:8.3f}" for v in flat[i : i + 10]) + "\n"
+                )
+            fh.write(f"{20.0:8.3f}{20.0:8.3f}{20.0:8.3f}\n")  # box record
+    back = read_crd(path, n_atoms)
+    assert back.shape == (n_frames, n_atoms, 3)
+    np.testing.assert_allclose(back, coords, atol=1e-3)
+
+    # unboxed file still parses identically
+    path2 = str(tmp_path / "plain.crd")
+    with open(path2, "w") as fh:
+        fh.write("plain mdcrd\n")
+        for f in range(n_frames):
+            flat = coords[f].reshape(-1)
+            for i in range(0, len(flat), 10):
+                fh.write(
+                    "".join(f"{v:8.3f}" for v in flat[i : i + 10]) + "\n"
+                )
+    np.testing.assert_allclose(
+        read_crd(path2, n_atoms), coords, atol=1e-3
+    )
+
+
+def test_two_letter_element_guessing_and_selection(tmp_path):
+    """Standalone ion names map to their two-letter elements; ambiguous
+    protein names (CA, HG...) stay single-letter; element selections match
+    case-insensitively."""
+    from deep_cartograph_tpu.io.topology import Topology, _guess_element
+
+    assert _guess_element("CL") == "CL"
+    assert _guess_element("NA") == "NA"
+    assert _guess_element("CA") == "C"   # C-alpha, not calcium
+    assert _guess_element("HG1") == "H"  # gamma hydrogen, not mercury
+    assert _guess_element("1HB") == "H"
+
+    pdb = tmp_path / "ions.pdb"
+    pdb.write_text(
+        "ATOM      1  CA  ALA A   1       0.000   0.000   0.000"
+        "  1.00  0.00\n"
+        "ATOM      2  CL  CLA A   2       1.000   0.000   0.000"
+        "  1.00  0.00\n"
+        "END\n"
+    )
+    top = Topology.from_pdb(str(pdb))
+    assert list(top.select("element Cl")) == [1]
+    assert list(top.select("element cl")) == [1]
+    assert list(top.select("element C")) == [0]
