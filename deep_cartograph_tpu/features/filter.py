@@ -118,7 +118,9 @@ class Filter:
                 ref_names = [t for t in translated if t is not None]
             else:
                 ref_names = names
-            if common:
+            if common is not None:
+                # an EMPTY intersection must stay empty (truthiness would
+                # treat it as "first file" and reset to the next file's list)
                 common = [f for f in common if f in ref_names]
             else:
                 common = ref_names

@@ -50,7 +50,15 @@ def to_entity_name(mda_selection: str) -> str:
 
 
 def to_mda_selection(entity_name: str) -> str:
-    for key, value in MDA_TO_ENTITY_MAP.items():
+    # Decode longest token first: the reference iterates dict order
+    # (md.py:1696-1699), where "eq"->"==" fires INSIDE "neq"/"leq"/"geq"
+    # ("..._neq_12" -> "n== 12", an invalid selection). The ENCODING is
+    # kept byte-identical to the reference's (feature labels must compare
+    # equal across implementations); only the decode order is fixed.
+    for value, key in sorted(
+        ((v, k) for k, v in MDA_TO_ENTITY_MAP.items()),
+        key=lambda kv: -len(kv[0]),
+    ):
         entity_name = entity_name.replace(value, key)
     return entity_name
 

@@ -95,8 +95,16 @@ class Assembler:
             if len(entities) != 2 or "." not in entities[1]:
                 raise ValueError(f"Malformed coord feature label: {feature_label}")
             atom, axis = entities[1].split(".")
-            # POSITION yields .x/.y/.z components; emit it once per atom.
-            if axis == "x":
+            # POSITION yields .x/.y/.z components; emit it once per atom —
+            # with the FIRST axis of that atom present in the feature list
+            # (feature filtering can drop .x while keeping .y/.z; keying on
+            # .x alone would leave the kept components undefined).
+            axes_present = [
+                ax for ax in ("x", "y", "z")
+                if f"coord-{atom}.{ax}" in self.features_list
+            ]
+            first = axes_present[0] if axes_present else "x"
+            if axis == first:
                 return cmd.position(f"coord-{atom}", atom.replace("_", "-"))
             return ""
 

@@ -68,7 +68,9 @@ def analyze_geometry(
                     refs = ref_topologies if ref_topologies else [None]
                     for ref_pdb in refs:
                         key = traj_name + (
-                            f"_to_{Path(ref_pdb).stem}" if ref_pdb else "first_frame"
+                            f"_to_{Path(ref_pdb).stem}"
+                            if ref_pdb
+                            else "_first_frame"
                         )
                         y_data[key] = RMSD(
                             trajectory, topology, selection, fit_selection, ref_pdb
@@ -98,7 +100,13 @@ def analyze_geometry(
 
             figure_path = os.path.join(output_folder, f"{name}_{category}.png")
             plot_data(y_data, x_data, params["title"], y_label, x_label, figure_path)
-            save_data(y_data, x_data, y_label, x_label, output_folder)
+            # Per-analysis subfolder: two same-category analyses (e.g. two
+            # RMSD selections) produce identical data keys — a shared
+            # folder would overwrite the first analysis' CSVs silently.
+            save_data(
+                y_data, x_data, y_label, x_label,
+                os.path.join(output_folder, name),
+            )
 
     elapsed = time.time() - start_time
     logger.info(

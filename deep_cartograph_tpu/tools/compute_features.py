@@ -65,9 +65,27 @@ def compute_features(
     trajectories, topologies = check_data(trajectory_data, topology_data)
 
     # Restart support: skip when every output colvars file already exists
-    # (cf. reference compute_features.py:86-95).
+    # (cf. reference compute_features.py:86-95). Output folders are keyed
+    # by trajectory stem, disambiguated with the parent directory when
+    # stems collide (e.g. the alanine demo's 300K/trajectory.xtc,
+    # 400K/trajectory.xtc — same-stem inputs would otherwise all write to
+    # ONE colvars.dat, silently overwriting each other).
+    stems = [Path(t).stem for t in trajectories]
+    out_names: List[str] = []
+    seen: Dict[str, int] = {}
+    for t, s in zip(trajectories, stems):
+        name = s
+        if stems.count(s) > 1:
+            parent = Path(t).resolve().parent.name
+            if parent:
+                name = f"{parent}_{s}"
+        n_prev = seen.get(name, 0)
+        seen[name] = n_prev + 1
+        if n_prev:
+            name = f"{name}_{n_prev}"
+        out_names.append(name)
     colvars_paths = [
-        os.path.join(output_folder, Path(t).stem, "colvars.dat") for t in trajectories
+        os.path.join(output_folder, name, "colvars.dat") for name in out_names
     ]
     if colvars_paths and all(os.path.exists(p) for p in colvars_paths):
         logger.info(
@@ -124,10 +142,9 @@ def compute_features(
     # Featurizer in shared chunks (one XLA program for the whole group;
     # the reference loops serially per trajectory, compute_features.py:152).
     jobs: Dict = {}  # cache_key -> (featurizer_args, [(traj, colvars, feats)])
-    for topology_path, trajectory_path, colvars_path in zip(
-        topologies, trajectories, colvars_paths
+    for topology_path, trajectory_path, colvars_path, traj_name in zip(
+        topologies, trajectories, colvars_paths, out_names
     ):
-        traj_name = Path(trajectory_path).stem
         traj_output_folder = os.path.join(output_folder, traj_name)
         os.makedirs(traj_output_folder, exist_ok=True)
         if os.path.exists(colvars_path):

@@ -170,6 +170,19 @@ class TrainColvarsWorkflow:
 
         for cv_name in self.cvs_list:
             cv_output_folder = os.path.join(self.output_folder, cv_name)
+            # Per-CV restart (reference TrainColvarsWorkflow semantics):
+            # a completed CV — model.zip + every projected trajectory —
+            # is skipped, so a crash on CV k doesn't retrain CVs 1..k-1.
+            if files_exist(
+                self.get_output_cv_model_path(cv_name), verbose=False
+            ) and files_exist(
+                *self.get_output_cv_trajectories(cv_name), verbose=False
+            ):
+                logger.info(
+                    "Skipping %s: model and projections already exist.",
+                    cv_name,
+                )
+                continue
             merged = merge_configurations(
                 self.configuration["common"], self.configuration.get(cv_name, {})
             )

@@ -126,21 +126,19 @@ class TrajClusterWorkflow:
             )
 
     def extract_cluster_ensembles(
-        self, data: pd.DataFrame, output_folder: str
+        self, data: pd.DataFrame, output_folder: str, traj_index: int
     ) -> None:
+        """Extract per-cluster sub-trajectories for ONE trajectory (the
+        caller already filtered `data` to that trajectory's rows)."""
         logger.info("Extracting cluster ensembles from the trajectories...")
-        for traj_index in range(len(self.cv_traj_paths)):
-            traj_data = data[data["traj_label"] == traj_index]
-            for cluster_label in traj_data["cluster"].unique():
-                frames = traj_data[traj_data["cluster"] == cluster_label][
-                    "frame"
-                ].tolist()
-                extract_frames_to_traj(
-                    self.trajectories[traj_index],
-                    self.topologies[traj_index],
-                    frames,
-                    os.path.join(output_folder, f"cluster_{cluster_label}.xtc"),
-                )
+        for cluster_label in data["cluster"].unique():
+            frames = data[data["cluster"] == cluster_label]["frame"].tolist()
+            extract_frames_to_traj(
+                self.trajectories[traj_index],
+                self.topologies[traj_index],
+                frames,
+                os.path.join(output_folder, f"cluster_{cluster_label}.xtc"),
+            )
 
     def assign_closest_cluster(
         self, new_data: pd.DataFrame, clusters_data: pd.DataFrame
@@ -221,7 +219,9 @@ class TrajClusterWorkflow:
                 )
             if self.extract_ensembles_condition:
                 if self.trajectories and self.topologies:
-                    self.extract_cluster_ensembles(traj_df, traj_output_folder)
+                    self.extract_cluster_ensembles(
+                        traj_df, traj_output_folder, traj_index
+                    )
                 else:
                     logger.warning(
                         "Trajectory and/or topology files not provided. "

@@ -172,19 +172,27 @@ def find_files(paths: Union[List[str], str]) -> List[str]:
             logger.error("Path not found: %s", path)
             sys.exit(1)
         if os.path.isdir(path):
-            file_paths = [
-                os.path.join(path, f)
-                for f in os.listdir(path)
-                if os.path.isfile(os.path.join(path, f))
-            ]
+            # EXTEND, don't replace: the reference reassigns here
+            # (common.py:330), silently dropping all earlier arguments
+            # whenever a directory appears in the list.
+            file_paths.extend(
+                sorted(
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if os.path.isfile(os.path.join(path, f))
+                )
+            )
         elif os.path.isfile(path):
             file_paths.append(path)
         else:
             logger.error("Path should be a file or a folder: %s", paths)
             sys.exit(1)
-    file_paths = [f for f in file_paths if not Path(f).name.startswith(".")]
-    file_paths.sort()
-    return file_paths
+    # Folder listings are sorted above for determinism, but the CALLER'S
+    # argument order is preserved: tools pair these against
+    # trajectory_names/topologies positionally (a global re-sort, as the
+    # reference does, silently mismatches those pairings when e.g. the
+    # pipeline appends augmented trajectories from the output folder).
+    return [f for f in file_paths if not Path(f).name.startswith(".")]
 
 
 def check_data(
@@ -217,10 +225,28 @@ def check_data(
 
 
 def get_unique_path(path: str) -> str:
-    """Append a numeric suffix until the path does not exist (cf. common.py:576-642)."""
+    """Append a numeric suffix until the path does not exist
+    (cf. common.py:576-642).
+
+    An existing EMPTY directory is returned as-is: the CLI pre-creates the
+    output folder for its log file before the pipeline runs; uniquifying
+    again (as the reference does, deep_carto.py:149 after :544) would
+    strand the log/config in one folder and the outputs in another — and
+    break -restart, which looks in the original folder.
+    """
     pure = PurePath(path)
     if not os.path.exists(path):
         return path
+    if os.path.isdir(path):
+        try:
+            entries = [
+                e for e in os.listdir(path)
+                if e != "deep_cartograph.log"
+            ]
+        except OSError:
+            entries = ["?"]
+        if not entries:
+            return path
     parent = pure.parent
     if os.path.isfile(path):
         stem, suffix = pure.stem, pure.suffix
@@ -253,6 +279,7 @@ def save_data(
     folder_path: str,
 ) -> None:
     """Dump paired x/y arrays per key to CSV (cf. reference common.py:473-504)."""
+    os.makedirs(folder_path, exist_ok=True)
     for key, y in y_data.items():
         x = x_data.get(key)
         if x is None:

@@ -33,7 +33,15 @@ def test_get_unique_path_files_and_dirs(tmp_path):
 
     d = tmp_path / "run"
     d.mkdir()
+    # An existing EMPTY directory is reused (the CLI pre-creates the output
+    # folder for its log; re-uniquifying would strand the log, see
+    # get_unique_path docstring). A log file alone still counts as empty.
+    assert get_unique_path(str(d)) == str(d)
+    (d / "deep_cartograph.log").write_text("")
+    assert get_unique_path(str(d)) == str(d)
+    (d / "analyze_geometry").mkdir()
     (tmp_path / "run_1").mkdir()
+    (tmp_path / "run_1" / "x").write_text("")
     assert get_unique_path(str(d)) == str(tmp_path / "run_2")
 
 

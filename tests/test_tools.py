@@ -99,8 +99,10 @@ def test_analyze_geometry_tool(ca_system, tmp_path):
     )
     assert os.path.exists(os.path.join(out, "ca_RMSD.png"))
     assert os.path.exists(os.path.join(out, "ca_d_dRMSD.png"))
-    csvs = list(Path(out).glob("*.csv"))
-    assert len(csvs) >= 2
+    # CSVs live in per-analysis subfolders (same-category analyses would
+    # otherwise overwrite each other's identically-keyed files)
+    assert len(list(Path(out, "ca").glob("*.csv"))) >= 1
+    assert len(list(Path(out, "ca_d").glob("*.csv"))) >= 1
 
 
 def test_traj_augmentation_tool(ca_system, tmp_path):
