@@ -232,7 +232,10 @@ def plot_fes(
     fig, ax = plt.subplots(figsize=(6, 5))
     if d == 1:
         masked = np.where(
-            (fes > max_fes) if max_fes else np.zeros_like(fes, bool), np.nan, fes
+            (fes > max_fes) if max_fes is not None
+            else np.zeros_like(fes, bool),
+            np.nan,
+            fes,
         )
         ax.plot(axes_grid[0], masked, color="#4878d0")
         if error is not None:
@@ -257,7 +260,10 @@ def plot_fes(
         ax.set_ylabel("FES (kJ/mol)")
     else:
         masked = np.where(
-            (fes > max_fes) if max_fes else np.zeros_like(fes, bool), np.nan, fes
+            (fes > max_fes) if max_fes is not None
+            else np.zeros_like(fes, bool),
+            np.nan,
+            fes,
         )
         cs = ax.contourf(
             axes_grid[0],

@@ -213,7 +213,9 @@ def get_ranges(X: np.ndarray, X_ref=None) -> list:
     """Data range per dimension with a small margin
     (cf. reference figures.py:399-477; 0.5% margin in 1D, 5% in ND)."""
     X = np.asarray(X)
-    if X.ndim == 1:
+    # The reference branches on X.shape[1] (figures.py:416-424), so a
+    # column vector (n, 1) also takes the flat-tuple 1-D path.
+    if X.ndim == 1 or (X.ndim == 2 and X.shape[1] == 1):
         lo, hi = float(np.min(X)), float(np.max(X))
         if X_ref is not None:
             for ref in X_ref:

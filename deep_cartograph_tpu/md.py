@@ -241,14 +241,22 @@ def load_universe(
     prepare_trajectory: bool = False,
 ) -> Universe:
     """Functional equivalent of the reference's load_universe
-    (md.py:948-1016): loads coordinates (PBC-unwrapped and centered when
-    prepare_trajectory) and wraps them with the topology."""
+    (md.py:948-1016): loads ALL atoms, with PBC unwrap/centering driven by
+    the USER'S selection group when prepare_trajectory (the reference
+    applies trans.unwrap/center_in_box on the selected group, md.py:993-
+    1011 — centering on the whole solvated system instead would diverge)."""
     top = _top(topology_file)
-    _, coords = load_coordinates(
-        topology_file, trajectory_file, selection="all",
-        prepare_trajectory=prepare_trajectory,
-    )
-    u = Universe(top, coords)
-    if len(u.select_atoms(selection)) == 0:
+    sel = top.select(selection)
+    if len(sel) == 0:
         raise ValueError(f"Selection '{selection}' matched 0 atoms.")
-    return u
+    if prepare_trajectory:
+        from deep_cartograph_tpu.geom.pbc import prepare_frames
+        from deep_cartograph_tpu.io.boxes import read_box
+
+        coords = read_traj(trajectory_file, topology_file)
+        box = read_box(trajectory_file)
+        bonds = top.guess_bonds(box=box[0] if box is not None else None)
+        coords = prepare_frames(coords, box, bonds, group=sel)
+    else:
+        coords = read_traj(trajectory_file, topology_file)
+    return Universe(top, coords)

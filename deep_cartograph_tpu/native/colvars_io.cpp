@@ -117,8 +117,24 @@ long colvars_parse(const char* buf, long size, long cols, float* out,
         const char* p = buf + line_offsets[r];
         char* end;
         for (long c = 0; c < cols; ++c) {
+            // Stop at end-of-line: strtof would skip '\n' and silently
+            // consume the NEXT line's numbers for a short row, violating
+            // the -1 shape-mismatch contract.
+            const char* buf_end = buf + size;
+            while (p < buf_end && (*p == ' ' || *p == '\t')) ++p;
+            if (p >= buf_end || *p == '\n' || *p == '\r') {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+                ok = false;
+                out[r * cols + c] = 0.0f;
+                continue;
+            }
             float v = fast_strtof(p, &end);
             if (end == p) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
                 ok = false;
                 v = 0.0f;
             }

@@ -80,6 +80,10 @@ bool parse_header(DcdReader* r) {
     if (!read_exact(r->fh, &alen, 4) || alen != 4) return false;
     if (!read_exact(r->fh, &natoms, 4)) return false;
     if (!read_exact(r->fh, &aend, 4) || aend != 4) return false;
+    // Corrupt/crafted headers: a negative or absurd atom count would feed
+    // a huge size_t into the worker thread's resize (std::terminate via
+    // uncaught bad_alloc) instead of a clean open failure.
+    if (natoms <= 0 || natoms > 100'000'000) return false;
 
     r->n_atoms = natoms;
     r->n_frames = icntrl[0];

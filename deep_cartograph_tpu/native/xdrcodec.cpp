@@ -347,8 +347,17 @@ int xtc_decompress_coords(const uint8_t* in, int in_size, int natoms,
         }
         if (run > 0) {
             for (int k = 0; k < run; k += 3) {
+                // Corrupt (or desynced) run headers must not write past
+                // the caller's natoms*3 buffer.
+                if (i >= natoms) return -1;
                 int delta[3];
-                decodeints(r, 3, sizeofints(3, sizesmall), sizesmall, delta);
+                // GROMACS xdr3dfcoord decodes delta triples with exactly
+                // `smallidx` bits (decodeints(buf,3,smallidx,sizesmall,..)).
+                // sizeofints(3,sizesmall) equals smallidx+1 whenever
+                // magicints[smallidx]^3 is an exact power of two
+                // (smallidx 9,12,15,...), which would desync the stream
+                // on externally produced files.
+                decodeints(r, 3, smallidx, sizesmall, delta);
                 ++i;
                 thiscoord[0] = delta[0] + prevcoord[0] - smallnum;
                 thiscoord[1] = delta[1] + prevcoord[1] - smallnum;

@@ -156,10 +156,14 @@ def kde_logsumexp(
     gp = jnp.zeros((g_pad, 8), jnp.float32)
     gp = gp.at[:g, :d].set(grid_points.astype(jnp.float32) * scale)
     # Padded channels are zero on both sides (no distance contribution);
-    # padded sample ROWS are pushed far away in channel 0 so exp(-d2) = 0.
+    # padded sample ROWS get a sentinel whose squared distance overflows
+    # to +inf in f32 for ANY finite grid point, so exp(-d2) is exactly 0.
+    # (A finite sentinel like 1e4 would contribute real density to grid
+    # points whose scaled coordinate lands near it — absolute-position
+    # CVs with small bandwidths reach such values.)
     sp = jnp.zeros((8, n_pad), jnp.float32)
     sp = sp.at[:d, :n].set(samples.astype(jnp.float32).T * scale)
-    sp = sp.at[0, n:].set(1e4)
+    sp = sp.at[0, n:].set(1e20)
 
     out = pl.pallas_call(
         functools.partial(

@@ -165,3 +165,31 @@ def test_xtc_truncated_file_raises_xtcerror(tmp_path):
             fh.write(data[:cut])
         with _pytest.raises(XTCError):
             read_xtc(trunc)
+
+
+def test_colvars_parse_short_row_returns_error(tmp_path):
+    """A truncated data row must yield the -1 shape-mismatch error, not
+    silently consume the next line's numbers."""
+    from deep_cartograph_tpu.native.build import load_native
+
+    lib = load_native()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    text = (
+        "#! FIELDS time a b\n"
+        "0.0 1.0 2.0\n"
+        "1.0 3.0\n"          # short row
+        "2.0 4.0 5.0\n"
+    ).encode()
+    import ctypes
+
+    import numpy as np
+
+    out = np.empty((3, 3), np.float32)
+    n = lib.colvars_parse(
+        text, len(text), 3,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 3,
+    )
+    assert n == -1

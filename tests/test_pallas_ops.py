@@ -62,3 +62,32 @@ def test_selector_pair_distances_kernel(rng):
     )[:, :P]
     truth = np.linalg.norm(coords[:, ii] - coords[:, jj], axis=-1) * 0.1
     np.testing.assert_allclose(out, truth, atol=1e-5)
+
+
+def test_kde_padding_rows_contribute_nothing(rng):
+    """Padded sample rows must have exactly zero density everywhere — a
+    finite pad sentinel leaked density into grid points near its scaled
+    coordinate (round-3 review finding)."""
+    import numpy as np
+
+    from deep_cartograph_tpu.ops.pallas_kernels import kde_logsumexp
+
+    # n deliberately NOT a multiple of sample_block -> padding present;
+    # grid values near the old 1e4 scaled sentinel would have picked up
+    # spurious density.
+    bw = 0.05
+    inv_two_bw2 = 1.0 / (2 * bw * bw)
+    scale = np.sqrt(inv_two_bw2)
+    samples = rng.normal(700.0, 0.2, (100, 1)).astype(np.float32)
+    assert abs(samples.mean() * scale - 1e4) < 2e3  # near old sentinel
+    grid = np.linspace(699, 701, 64).reshape(-1, 1).astype(np.float32)
+    got = np.asarray(
+        kde_logsumexp(grid, samples, inv_two_bw2, sample_block=128)
+    )
+    # dense reference (float64; the device computes in f32 on ~1e4-scaled
+    # coordinates, so tolerate rounding — the old sentinel bug was off by
+    # ORDERS of magnitude, not 1e-2)
+    d2 = ((grid[:, None, 0] - samples[None, :, 0]) * scale) ** 2
+    expect = np.log(np.sum(np.exp(-d2 + d2.min(1, keepdims=True)), 1)) - \
+        d2.min(1)
+    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=0.05)

@@ -302,16 +302,16 @@ def test_fit_ensemble_matches_serial(rng):
     for res_s, res_e in zip(serial, ensemble):
         assert res_e.best_epoch == res_s.best_epoch
         assert res_e.description == res_s.description
-        np.testing.assert_allclose(res_e.score, res_s.score, rtol=1e-5)
+        np.testing.assert_allclose(res_e.score, res_s.score, rtol=5e-5)
         np.testing.assert_allclose(
             np.asarray(res_e.params["w"]),
             np.asarray(res_s.params["w"]),
-            rtol=1e-5,
+            rtol=5e-5,
             atol=1e-6,
         )
         np.testing.assert_allclose(
             res_e.metrics["valid_loss"], res_s.metrics["valid_loss"],
-            rtol=1e-5,
+            rtol=5e-5,
         )
 
 
