@@ -54,30 +54,18 @@ def _kde_fes_device(samples, grid_points, bandwidth, kt, num_blocks: int):
     return fes, error
 
 
-def _kde_fes_streaming(
-    data: np.ndarray,
-    grid_points: np.ndarray,
-    bandwidth: float,
-    kt: float,
-    num_blocks: int,
-):
-    """Blockwise FES via the streaming Pallas logsumexp kernel.
-
-    Per-block log-densities combine exactly into the full-data estimate:
-    logsumexp over all samples = logsumexp_b(block_logsumexp_b).
-    """
-    from deep_cartograph_tpu.ops.pallas_kernels import kde_logsumexp
-
+def _blockwise_fes(data, grid_points, kt, num_blocks, block_logsumexp):
+    """Shared blockwise-FES harness: per-block raw logsumexp densities
+    combine exactly into the full-data estimate (logsumexp over all
+    samples = logsumexp_b(block_logsumexp_b)); block FES estimates give
+    the standard block error. `block_logsumexp(chunk) -> (grid,)` raw
+    logsumexp over the chunk's samples."""
     n = data.shape[0]
     block_len = n // num_blocks
-    inv_two_bw2 = 1.0 / (2.0 * bandwidth * bandwidth)
-    block_lse = []
-    for b in range(num_blocks):
-        chunk = data[b * block_len : (b + 1) * block_len]
-        block_lse.append(
-            np.asarray(kde_logsumexp(jnp.asarray(grid_points), jnp.asarray(chunk), inv_two_bw2))
-        )
-    block_lse = np.stack(block_lse)  # (num_blocks, grid)
+    block_lse = np.stack([
+        block_logsumexp(data[b * block_len : (b + 1) * block_len])
+        for b in range(num_blocks)
+    ])  # (num_blocks, grid)
     from scipy.special import logsumexp as _lse
 
     full_logp = _lse(block_lse, axis=0) - np.log(n)
@@ -90,6 +78,26 @@ def _kde_fes_streaming(
     else:
         error = None
     return fes, error
+
+
+def _kde_fes_streaming(
+    data: np.ndarray,
+    grid_points: np.ndarray,
+    bandwidth: float,
+    kt: float,
+    num_blocks: int,
+):
+    """Blockwise FES via the streaming Pallas logsumexp kernel."""
+    from deep_cartograph_tpu.ops.pallas_kernels import kde_logsumexp
+
+    inv_two_bw2 = 1.0 / (2.0 * bandwidth * bandwidth)
+    grid_d = jnp.asarray(grid_points)
+    return _blockwise_fes(
+        data, grid_points, kt, num_blocks,
+        lambda chunk: np.asarray(
+            kde_logsumexp(grid_d, jnp.asarray(chunk), inv_two_bw2)
+        ),
+    )
 
 
 def _kde_fes_sharded(
@@ -105,26 +113,14 @@ def _kde_fes_sharded(
     multi-device backends."""
     from deep_cartograph_tpu.parallel.sharding import sharded_kde_logdensity
 
-    n = data.shape[0]
-    block_len = n // num_blocks
-    block_lse = []
-    for b in range(num_blocks):
-        chunk = data[b * block_len : (b + 1) * block_len]
-        logp = sharded_kde_logdensity(chunk, grid_points, bandwidth)
-        block_lse.append(logp + np.log(block_len))  # raw logsumexp per block
-    block_lse = np.stack(block_lse)  # (num_blocks, grid)
-    from scipy.special import logsumexp as _lse
-
-    full_logp = _lse(block_lse, axis=0) - np.log(n)
-    fes = -kt * full_logp
-    fes = fes - fes.min()
-    if num_blocks > 1:
-        fes_b = -kt * (block_lse - np.log(block_len))
-        fes_b = fes_b - fes_b.min(axis=1, keepdims=True)
-        error = fes_b.std(axis=0) / np.sqrt(num_blocks)
-    else:
-        error = None
-    return fes, error
+    block_len = data.shape[0] // num_blocks
+    return _blockwise_fes(
+        data, grid_points, kt, num_blocks,
+        # sharded_kde_logdensity returns a normalized log density; undo
+        # the 1/len normalization to get the raw block logsumexp.
+        lambda chunk: sharded_kde_logdensity(chunk, grid_points, bandwidth)
+        + np.log(block_len),
+    )
 
 
 def compute_fes(
