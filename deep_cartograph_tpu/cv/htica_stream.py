@@ -273,6 +273,103 @@ class StreamingHTICA:
         weights = np.einsum("sdo,soc->sdc", self.level1, l2)
         self.weights = weights.reshape(self.n_features, self.cv_dim)
 
+    def fit_fused(self, block_fn, n_frames: int, block_size: int) -> None:
+        """Single-dispatch-per-pass fit for TRACEABLE block generators.
+
+        block_fn(start) -> (block_size, n_features) array, traceable under
+        jit (on-device synthetic generators, or device-resident
+        featurization of device-resident coordinates — e.g. a
+        PlanEvaluator program composed with a coordinate source). Each of
+        the two covariance passes compiles to ONE XLA program
+        (lax.fori_loop over blocks), eliminating the per-block dispatch
+        round trips of fit() — on remote-attached accelerators those
+        dominate the streaming accumulation wall-clock. Matches fit()'s
+        estimator exactly (same lag-carry pairing, same first-block
+        shift).
+        """
+        if n_frames % block_size != 0:
+            raise ValueError(
+                "n_frames must divide evenly into block_size blocks for "
+                "the fused path."
+            )
+        n_blocks = n_frames // block_size
+        if block_size <= self.lag:
+            raise ValueError("block_size must exceed lag_time.")
+        lag, n_sub, sub_d = self.lag, self.n_sub, self.sub_d
+
+        def pass1():
+            blk0 = block_fn(0)
+            shift = jnp.mean(blk0[: blk0.shape[0] - lag], axis=0)
+            state = _accumulate_moments(
+                _zero_state(n_sub, sub_d),
+                blk0[:-lag] - shift, blk0[lag:] - shift, n_sub, sub_d,
+            )
+
+            def body(i, carry):
+                state, carryblk = carry
+                ext = jnp.concatenate([carryblk, block_fn(i * block_size)], 0)
+                state = _accumulate_moments(
+                    state, ext[:-lag] - shift, ext[lag:] - shift,
+                    n_sub, sub_d,
+                )
+                return state, ext[-lag:]
+
+            state, _ = jax.lax.fori_loop(
+                1, n_blocks, body, (state, blk0[-lag:])
+            )
+            return state
+
+        state = jax.jit(pass1)()
+        c0, ctau, _ = _moments_to_covs(state)
+        evals1, evecs1 = _run_batched_tica(c0, ctau, self.reg, self.sub_out)
+        self.level1 = np.asarray(evecs1)
+        logger.info(
+            "StreamingHTICA (fused) level 1: %d subspaces x %d -> %d dims "
+            "(top eigenvalue %.4f)",
+            self.n_sub, self.sub_d, self.sub_out, float(evals1[:, 0].max()),
+        )
+
+        evecs1_d = jnp.asarray(self.level1)
+        z_dim = self.n_sub * self.sub_out
+
+        def project(x):
+            xs = x.reshape(x.shape[0], self.n_sub, self.sub_d)
+            return jnp.einsum("bsd,sdo->bso", xs, evecs1_d).reshape(
+                x.shape[0], z_dim
+            )
+
+        def pass2():
+            blk0 = block_fn(0)
+            z0 = project(blk0)
+            shift2 = jnp.mean(z0[: z0.shape[0] - lag], axis=0)
+            state = _accumulate_moments(
+                _zero_state(1, z_dim),
+                z0[:-lag] - shift2, z0[lag:] - shift2, 1, z_dim,
+            )
+
+            def body(i, carry):
+                state, carryblk = carry
+                ext = jnp.concatenate(
+                    [carryblk, project(block_fn(i * block_size))], 0
+                )
+                state = _accumulate_moments(
+                    state, ext[:-lag] - shift2, ext[lag:] - shift2, 1, z_dim
+                )
+                return state, ext[-lag:]
+
+            state, _ = jax.lax.fori_loop(1, n_blocks, body, (state, z0[-lag:]))
+            return state
+
+        state2 = jax.jit(pass2)()
+        c0_2, ctau_2, _ = _moments_to_covs(state2)
+        w2a, v2a = _run_batched_tica(c0_2, ctau_2, self.reg, c0_2.shape[-1])
+        w2, v2 = w2a[0], v2a[0]
+        self.eigenvalues_ = np.asarray(w2[: self.cv_dim])
+        level2 = np.asarray(v2[:, : self.cv_dim])
+        l2 = level2.reshape(self.n_sub, self.sub_out, self.cv_dim)
+        weights = np.einsum("sdo,soc->sdc", self.level1, l2)
+        self.weights = weights.reshape(self.n_features, self.cv_dim)
+
     def project_blocks(self, block_iter: Iterable) -> np.ndarray:
         """Project streamed blocks through the final weights."""
         # Cache the jitted projection across calls (jit caches on function

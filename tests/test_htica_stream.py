@@ -140,3 +140,39 @@ def test_subspace_sharded_over_mesh_matches(slow_fast_data):
 
     with pytest.raises(ValueError):  # 6 subspaces don't divide over 8 devices
         StreamingHTICA(24, 6, 2, 2, lag_time=5, mesh=mesh)
+
+
+def test_fit_fused_matches_fit(rng):
+    """The single-dispatch fused path reproduces fit() exactly: same
+    lag-carry pairing, same first-block shift, same weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_cartograph_tpu.cv.htica_stream import StreamingHTICA
+
+    n_frames, n_feat, block = 600, 24, 100
+    data = rng.standard_normal((n_frames, n_feat)).astype(np.float32)
+    # smooth signal so TICA has structure
+    data = np.cumsum(data, axis=0) / 10 + data
+    data_d = jnp.asarray(data)
+
+    def make(**kw):
+        return StreamingHTICA(
+            n_features=n_feat, num_subspaces=4, subspaces_dimension=3,
+            cv_dimension=2, lag_time=5, reg=1e-6, **kw,
+        )
+
+    a = make()
+    a.fit(lambda: (
+        data_d[s : s + block] for s in range(0, n_frames, block)
+    ))
+    b = make()
+    b.fit_fused(lambda start: jax.lax.dynamic_slice_in_dim(
+        data_d, start, block, 0
+    ), n_frames, block)
+
+    np.testing.assert_allclose(b.eigenvalues_, a.eigenvalues_, atol=1e-4)
+    # eigenvector signs are a convention; compare |projection|
+    pa = np.abs(data @ a.weights)
+    pb = np.abs(data @ b.weights)
+    np.testing.assert_allclose(pb, pa, atol=1e-3)
