@@ -105,11 +105,13 @@ def main() -> None:
             key, coords.shape, jnp.float32
         )
 
-    def feat_block(start):
-        # `start + arange(BLOCK)` keeps this traceable under jit (the
-        # fused paths trace it with a loop-carried start index).
-        ids = start + jnp.arange(BLOCK)
+    def feat_block(start: int):
+        ids = jnp.arange(start, start + BLOCK)
         return evaluator.eval_raw(gen_coords(ids))
+
+    def block_iter():
+        for start in range(0, N_FRAMES, BLOCK):
+            yield feat_block(start)
 
     # Device program compile (first call through the shipped evaluator).
     t0 = time.time()
@@ -140,25 +142,16 @@ def main() -> None:
             jnp.maximum(mx, jnp.max(x, 0)),
         )
 
-    # Fused single-dispatch pass (lax.fori_loop over blocks): per-block
-    # dispatch round trips through a remote-attached backend otherwise
-    # dominate streaming accumulation wall-clock.
-    @jax.jit
-    def fused_moments():
-        init = (
-            jnp.zeros(N_FEATURES, jnp.float32),
-            jnp.zeros(N_FEATURES, jnp.float32),
-            jnp.full(N_FEATURES, np.inf, jnp.float32),
-            jnp.full(N_FEATURES, -np.inf, jnp.float32),
-        )
-        return jax.lax.fori_loop(
-            0, N_FRAMES // BLOCK,
-            lambda i, st: moments_acc(st, feat_block(i * BLOCK)),
-            init,
-        )
-
     t0 = time.time()
-    s, s2, mn, mx = fused_moments()
+    state = (
+        jnp.zeros(N_FEATURES, jnp.float32),
+        jnp.zeros(N_FEATURES, jnp.float32),
+        jnp.full(N_FEATURES, np.inf, jnp.float32),
+        jnp.full(N_FEATURES, -np.inf, jnp.float32),
+    )
+    for blk in block_iter():
+        state = moments_acc(state, blk)
+    s, s2, mn, mx = state
     mean = s / N_FRAMES
     std = jnp.sqrt(jnp.maximum(s2 / N_FRAMES - mean * mean, 0.0))
     std_h = np.asarray(std)
@@ -177,16 +170,10 @@ def main() -> None:
         counts, _ = jax.lax.scan(body, counts, jnp.arange(100))
         return counts
 
-    @jax.jit
-    def fused_entropy(mn, mx):
-        return jax.lax.fori_loop(
-            0, N_FRAMES // BLOCK,
-            lambda i, c: entropy_counts_acc(c, feat_block(i * BLOCK), mn, mx),
-            jnp.zeros((100, N_FEATURES), jnp.float32),
-        )
-
     t0 = time.time()
-    counts = fused_entropy(mn, mx)
+    counts = jnp.zeros((100, N_FEATURES), jnp.float32)
+    for blk in block_iter():
+        counts = entropy_counts_acc(counts, blk, mn, mx)
     p = counts / N_FRAMES
     entropy = np.asarray(-jnp.sum(jnp.where(p > 0, p * jnp.log2(p), 0.0), 0))
     stages["filter_pass_entropy_s"] = round(time.time() - t0, 2)
@@ -209,12 +196,9 @@ def main() -> None:
         reg=1e-6,
     )
     t0 = time.time()
-    # fit_fused: ONE compiled program per covariance pass (the generator
-    # is traceable); fit(block_iter) gives identical results with one
-    # dispatch per block instead.
-    sh.fit_fused(feat_block, N_FRAMES, BLOCK)
+    sh.fit(block_iter)
     stages["htica_fit_s"] = round(time.time() - t0, 2)
-    _log(f"StreamingHTICA fit (fused) {stages['htica_fit_s']}s "
+    _log(f"StreamingHTICA fit {stages['htica_fit_s']}s "
          f"(top eig {float(sh.eigenvalues_[0]):.4f})")
 
     # ---- stage 3: deep-TICA on the filtered set ------------------------
@@ -225,22 +209,13 @@ def main() -> None:
     top_k.sort()
     top_k_d = jnp.asarray(top_k.astype(np.int32))
 
-    @jax.jit
-    def fused_deep_input():
-        def body(i, buf):
-            blk = jnp.take(feat_block(i * BLOCK), top_k_d, axis=1)
-            return jax.lax.dynamic_update_slice(buf, blk, (i * BLOCK, 0))
-
-        buf = jax.lax.fori_loop(
-            0, N_FRAMES // BLOCK, body,
-            jnp.zeros((N_FRAMES, DEEP_K), jnp.float32),
-        )
-        mu = jnp.mean(buf, 0)
-        sd = jnp.std(buf, 0) + 1e-8
-        return (buf - mu) / sd
-
     t0 = time.time()
-    deep_x = fused_deep_input()
+    parts = [jnp.take(blk, top_k_d, axis=1) for blk in block_iter()]
+    deep_x = jnp.concatenate(parts, axis=0)
+    del parts
+    mu = jnp.mean(deep_x, 0)
+    sd = jnp.std(deep_x, 0) + 1e-8
+    deep_x = (deep_x - mu) / sd
     x_t, x_lag = deep_x[:-LAG], deep_x[LAG:]
     float(jnp.ravel(x_lag)[0])
     stages["deep_input_materialize_s"] = round(time.time() - t0, 2)

@@ -281,11 +281,17 @@ class StreamingHTICA:
         featurization of device-resident coordinates — e.g. a
         PlanEvaluator program composed with a coordinate source). Each of
         the two covariance passes compiles to ONE XLA program
-        (lax.fori_loop over blocks), eliminating the per-block dispatch
-        round trips of fit() — on remote-attached accelerators those
-        dominate the streaming accumulation wall-clock. Matches fit()'s
-        estimator exactly (same lag-carry pairing, same first-block
-        shift).
+        (lax.fori_loop over blocks) with zero per-block dispatches.
+        Matches fit()'s estimator exactly (same lag-carry pairing, same
+        first-block shift; parity test in tests/test_htica_stream.py).
+
+        Trade-off, measured at BASELINE config-5 scale: fit()'s eager
+        per-block dispatches PIPELINE well under JAX async dispatch, so
+        the fused path's win is not dispatch latency — it is one
+        self-contained program (useful for ahead-of-time compilation and
+        for composing the whole pass into larger programs). On backends
+        with expensive/slow compilation the two big fused programs can
+        cost more to build than they save; fit() remains the default.
         """
         if n_frames % block_size != 0:
             raise ValueError(
