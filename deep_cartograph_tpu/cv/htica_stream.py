@@ -38,11 +38,19 @@ logger = logging.getLogger(__name__)
 
 
 @partial(jax.jit, static_argnames=("n_sub", "sub_d"))
-def _accumulate_moments(state, x_t, x_lag, n_sub: int, sub_d: int):
+@partial(jax.jit, static_argnames=("n_sub", "sub_d"))
+def _accumulate_moments(state, x_t, x_lag, n_sub: int, sub_d: int,
+                        shift=None):
     """Add one block of time-lagged pairs to the per-subspace raw moments.
 
     x_t/x_lag: (b, n_sub * sub_d). state: dict of per-subspace sums.
+    `shift` (optional, (F,)) is subtracted INSIDE the program — callers
+    passing it avoid materializing two shifted copies of the block as
+    separate eager ops.
     """
+    if shift is not None:
+        x_t = x_t - shift
+        x_lag = x_lag - shift
     b = x_t.shape[0]
     xt = x_t.reshape(b, n_sub, sub_d)
     xl = x_lag.reshape(b, n_sub, sub_d)
@@ -194,7 +202,18 @@ class StreamingHTICA:
 
     def _stream_pairs(self, block_iter: Iterable):
         """Yield (x_t, x_lag) device pairs with a lag-frame carry so pairs
-        straddling block boundaries are not lost."""
+        straddling block boundaries are not lost.
+
+        Uniform blocks longer than the lag yield TWO pairs per block —
+        the (lag, F) boundary seam against the carry, then the block's
+        interior — instead of concatenating carry+block: at production
+        widths the concatenate materializes a full extra block of HBM
+        traffic per step for the sake of lag rows. The pair SET is
+        identical (seam j<lag: (carry[j], block[j]); interior j:
+        (block[j], block[j+lag])). Ragged/short blocks and the sharded
+        path keep the concat formulation.
+        """
+        lag = self.lag
         carry = None
         for block in block_iter:
             if self._block_sharding is not None:
@@ -209,11 +228,21 @@ class StreamingHTICA:
                 block = jax.device_put(block, self._block_sharding)
             else:
                 block = jnp.asarray(block, jnp.float32)
+            if (
+                self._block_sharding is None
+                and block.shape[0] > lag
+                and (carry is None or carry.shape[0] == lag)
+            ):
+                if carry is not None:
+                    yield carry, block[:lag]
+                yield block[:-lag], block[lag:]
+                carry = block[-lag:]
+                continue
             if carry is not None:
                 block = jnp.concatenate([carry, block], axis=0)
-            if block.shape[0] > self.lag:
-                yield block[: -self.lag], block[self.lag :]
-            carry = block[-self.lag :]
+            if block.shape[0] > lag:
+                yield block[:-lag], block[lag:]
+            carry = block[-lag:]
 
     def fit(self, make_block_iter: Callable[[], Iterable]) -> None:
         """make_block_iter: zero-arg callable returning a fresh iterator of
@@ -230,7 +259,7 @@ class StreamingHTICA:
             if shift is None:
                 shift = jnp.mean(x_t, axis=0)
             state = _accumulate_moments(
-                state, x_t - shift, x_lag - shift, self.n_sub, self.sub_d
+                state, x_t, x_lag, self.n_sub, self.sub_d, shift=shift
             )
         c0, ctau, _ = _moments_to_covs(state)
         evals1, evecs1 = _run_batched_tica(c0, ctau, self.reg, self.sub_out)
@@ -259,7 +288,7 @@ class StreamingHTICA:
             if shift2 is None:
                 shift2 = jnp.mean(z_t, axis=0)
             state2 = _accumulate_moments(
-                state2, z_t - shift2, z_lag - shift2, 1, z_dim
+                state2, z_t, z_lag, 1, z_dim, shift=shift2
             )
         c0_2, ctau_2, _ = _moments_to_covs(state2)
         w2a, v2a = _run_batched_tica(c0_2, ctau_2, self.reg, c0_2.shape[-1])
