@@ -489,3 +489,48 @@ def test_deep_tica_validation_pairs_respect_file_boundaries(
     n = cv_dataset["data"].shape[0]
     per_file = calc.x_t.shape[0]  # pairs from ONE file at this lag
     assert calc.val_x_t.shape[0] == 2 * per_file
+
+
+def test_train_colvars_per_cv_restart(cv_dataset, tmp_path):
+    """A crash between CVs doesn't retrain the completed ones: a CV with
+    an existing model + projections is skipped on rerun (reference
+    per-CV restart semantics), while missing CVs are (re)trained."""
+    from deep_cartograph_tpu.tools.train_colvars import train_colvars
+
+    cfg = {
+        "cvs": ["pca", "tica"],
+        "common": {
+            "dimension": 2,
+            "lag_time": 2,
+            "features_normalization": "mean_std",
+            "input_colvars": {"start": 0, "stop": None, "stride": 1},
+        },
+    }
+    out = str(tmp_path / "tc")
+    train_colvars(
+        configuration=cfg,
+        train_colvars_paths=[cv_dataset["colvars"]],
+        train_topologies=[cv_dataset["topology"]],
+        trajectory_names=["traj"],
+        features_list=cv_dataset["labels"],
+        output_folder=out,
+    )
+    pca_zip = os.path.join(out, "pca", "model.zip")
+    tica_zip = os.path.join(out, "tica", "model.zip")
+    assert os.path.exists(pca_zip) and os.path.exists(tica_zip)
+
+    # simulate a crash after pca: remove tica, keep pca
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "tica"))
+    pca_mtime = os.path.getmtime(pca_zip)
+    train_colvars(
+        configuration=cfg,
+        train_colvars_paths=[cv_dataset["colvars"]],
+        train_topologies=[cv_dataset["topology"]],
+        trajectory_names=["traj"],
+        features_list=cv_dataset["labels"],
+        output_folder=out,
+    )
+    assert os.path.exists(tica_zip)               # retrained
+    assert os.path.getmtime(pca_zip) == pca_mtime  # untouched
