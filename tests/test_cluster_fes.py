@@ -15,7 +15,7 @@ from deep_cartograph_tpu.fes import compute_fes
 
 
 @pytest.fixture(scope="module")
-def blobs(rng=None):
+def blobs():
     rng = np.random.default_rng(5)
     centers = np.array([[0, 0], [5, 5], [0, 6]], float)
     data = np.concatenate(

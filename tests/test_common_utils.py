@@ -116,10 +116,29 @@ def test_common_misc_helpers(tmp_path):
     assert mat.shape == (1, 1)  # only the feature column survives
 
 
-def test_stage_timer_logs_and_times(tmp_path, monkeypatch):
+def test_stage_timer_logs_and_times():
+    import logging
     import time as _time
 
     from deep_cartograph_tpu.utils.profiling import stage_timer
 
-    with stage_timer("unit test stage"):
-        _time.sleep(0.01)
+    # Attach a handler directly (earlier tests' fileConfig may disable or
+    # redirect the package loggers, which would make caplog miss records).
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    log = logging.getLogger("deep_cartograph_tpu.utils.profiling")
+    old = (log.level, log.disabled, log.propagate)
+    log.addHandler(handler)
+    log.setLevel(logging.INFO)
+    log.disabled = False
+    try:
+        with stage_timer("unit test stage"):
+            _time.sleep(0.01)
+    finally:
+        log.removeHandler(handler)
+        log.level, log.disabled, log.propagate = old
+    msgs = [r.getMessage() for r in records]
+    assert any(
+        "Elapsed time (unit test stage)" in m for m in msgs
+    ), msgs

@@ -67,7 +67,12 @@ def _gloo_available() -> bool:
 def test_two_process_distributed_init_and_reduce(tmp_path):
     child = tmp_path / "child.py"
     child.write_text(CHILD.format(repo=REPO))
+    # Ephemeral-port TOCTOU: another process can grab the port between
+    # close() and the coordinator's bind. SO_REUSEADDR plus picking from
+    # a kernel-assigned ephemeral port makes a same-window collision
+    # vanishingly unlikely; the 240 s communicate() bounds a loss anyway.
     with socket.socket() as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 

@@ -149,23 +149,26 @@ def test_transfer_aware_stats_routing(rng, monkeypatch):
 
     x = rng.standard_normal((2000, 50)).astype(np.float32)
 
+    # The conftest backend IS the CPU, so host_cpu_device() returns None
+    # and the routing short-circuits; pretend a distinct CPU device exists
+    # so the bandwidth comparison actually executes and is asserted.
+    import jax
+
+    monkeypatch.setattr(
+        dev_mod, "host_cpu_device", lambda: jax.devices("cpu")[0]
+    )
+
     # slow tunnel: upload would dwarf host compute -> cpu context
     monkeypatch.setattr(dev_mod, "_MEASURED_UPLOAD_BW", 40e6)
     ctx = dev_mod.maybe_cpu_for_host_data(1e9, 4e9, host_rate=4e8,
                                           threshold=0)
-    slow_routes_cpu = ctx.__class__.__name__ != "nullcontext"
+    assert ctx.__class__.__name__ != "nullcontext", "slow link must route CPU"
 
     # PCIe-class bandwidth: device path retained
     monkeypatch.setattr(dev_mod, "_MEASURED_UPLOAD_BW", 10e9)
     ctx = dev_mod.maybe_cpu_for_host_data(1e9, 4e9, host_rate=4e8,
                                           threshold=0)
-    fast_keeps_device = ctx.__class__.__name__ == "nullcontext"
-
-    # On the CPU-default test backend host_cpu_device() is None, so both
-    # contexts are null here — assert the decision logic via the bandwidth
-    # numbers instead when a distinct CPU device exists.
-    if dev_mod.host_cpu_device() is not None:
-        assert slow_routes_cpu and fast_keeps_device
+    assert ctx.__class__.__name__ == "nullcontext", "fast link keeps device"
 
     # values are identical regardless of routing
     from deep_cartograph_tpu.stats.descriptors import (

@@ -75,9 +75,12 @@ def test_analyze_residue_hbonds_trajectory(tmp_path):
         topology_file=system.pdb_path,
         trajectory_file=system.dcd_path,
         first_selection="resid 2",
-        second_selection="resid 5",
-        d_a_cutoff=6.0,  # generous: the synthetic geometry is coarse
-        d_h_a_angle_cutoff=60.0,
+        second_selection="resid 3",
+        # generous cutoffs tuned to the coarse synthetic geometry: the
+        # adjacent-residue N..O sits at ~7.7 A with a ~45 deg D-H-A angle,
+        # so these GUARANTEE hits — an empty result means a regression
+        d_a_cutoff=9.0,
+        d_h_a_angle_cutoff=40.0,
         donors_sel="name N",
         hydrogens_sel="name H",
         acceptors_sel="name O",
@@ -85,13 +88,15 @@ def test_analyze_residue_hbonds_trajectory(tmp_path):
     assert n_frames == 30
     occ = hbond_occupancy(df, n_frames)
     assert 0.0 <= occ <= 1.0
+    # cutoffs above guarantee hits; empty means a selection/mask regression
+    assert len(df) > 0
     if len(df):
         assert set(
             ["frame", "donor_index", "hydrogen_index", "acceptor_index",
              "distance", "angle"]
         ) <= set(df.columns)
-        assert df["distance"].max() <= 6.0
-        assert df["angle"].min() >= 60.0
+        assert df["distance"].max() <= 9.0
+        assert df["angle"].min() >= 40.0
 
 
 def test_analyze_no_candidates(tmp_path):

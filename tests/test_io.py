@@ -303,19 +303,25 @@ def test_iter_xtc_chunks_prefetch_abandonment_joins_worker(tmp_path):
     path = str(tmp_path / "abandon.xtc")
     write_xtc(path, coords)
 
-    before = threading.active_count()
+    before = set(threading.enumerate())
     it = iter_xtc_chunks_prefetch(path, chunk=4, prefetch_depth=1)
     first = next(it)
     assert first.shape == (4, 24, 3)
     it.close()  # GeneratorExit mid-stream
-    # worker must have exited (generous settle window for the join)
-    for _ in range(50):
-        if threading.active_count() <= before:
-            break
-        import time as _t
+    # the SPECIFIC worker thread(s) this iterator started must exit —
+    # comparing global active_count() would both flake on unrelated
+    # threads and miss a leak masked by an unrelated exit
+    import time as _t
 
+    for _ in range(50):
+        new_threads = [
+            t for t in threading.enumerate()
+            if t not in before and t.is_alive()
+        ]
+        if not new_threads:
+            break
         _t.sleep(0.1)
-    assert threading.active_count() <= before
+    assert not new_threads, new_threads
 
 
 def test_count_trr_frames_header_walk(tmp_path):

@@ -534,9 +534,6 @@ def test_validation_runs_in_eval_mode(rng):
 
     # ensemble path: eval also pinned to train=False
     calls.clear()
-    import numpy as np
-
-    params_stack = jax.tree.map(lambda *x: jnp.stack(x), _init_params())
     trainer2 = Trainer(loss_with_train, config)
     trainer2.fit_ensemble(
         jax.tree.map(lambda a: a[None], _init_params()),
