@@ -13,6 +13,7 @@ host-side (graph algorithms, not TPU-shaped — documented seam, SURVEY §2.4).
 from __future__ import annotations
 
 import logging
+import os
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -215,6 +216,14 @@ def clustering_scores(
     # the LAST cluster, silently skewing all three scores. sklearn treats
     # -1 as its own label — do the same.
     if labels.min() < 0:
+        if labels.max() < 0:
+            # All noise: remapping would yield a single "cluster" and the
+            # score kernels divide by (k-1) — return sentinels instead.
+            logger.warning(
+                "clustering_scores: every point is noise (all labels -1); "
+                "returning NaN scores"
+            )
+            return float("nan"), float("nan"), float("nan")
         labels = np.where(labels < 0, labels.max() + 1, labels)
     k = int(labels.max()) + 1
     n = int(np.asarray(data).shape[0])
@@ -237,14 +246,25 @@ def hdbscan_clustering(
     min_samples: Optional[int] = None,
     cluster_selection_epsilon: float = 0.0,
     cluster_selection_method: str = "eom",
+    n_jobs: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """HDBSCAN via sklearn (cf. reference statistics.py:199-283). Graph-based
-    — intentionally host-side."""
+    — intentionally host-side.
+
+    n_jobs=None sizes joblib parallelism from the SLURM allocation
+    (SLURM_CPUS_PER_TASK * SLURM_NTASKS, reference statistics.py:229-247);
+    pass an explicit value to override.
+    """
     from sklearn.cluster import HDBSCAN
 
+    if n_jobs is None:
+        n_cores = int(os.environ.get("SLURM_CPUS_PER_TASK", 1))
+        n_tasks = int(os.environ.get("SLURM_NTASKS", 1))
+        n_jobs = n_cores * n_tasks
     hdb = HDBSCAN(
         min_cluster_size=min_cluster_size,
         min_samples=min_samples,
+        n_jobs=None if n_jobs == 1 else n_jobs,
         store_centers="centroid",
         cluster_selection_epsilon=cluster_selection_epsilon,
         max_cluster_size=max_cluster_size,

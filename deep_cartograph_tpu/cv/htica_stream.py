@@ -38,7 +38,6 @@ logger = logging.getLogger(__name__)
 
 
 @partial(jax.jit, static_argnames=("n_sub", "sub_d"))
-@partial(jax.jit, static_argnames=("n_sub", "sub_d"))
 def _accumulate_moments(state, x_t, x_lag, n_sub: int, sub_d: int,
                         shift=None):
     """Add one block of time-lagged pairs to the per-subspace raw moments.

@@ -49,8 +49,14 @@ def read_crd(
             # its OWN line right after each frame's coordinate rows
             # (ceil(plain/10) of them). Inspect that line.
             coord_rows = (plain + 9) // 10
+            # A 3-value line right after the coordinate rows only signals a
+            # box when the NEXT frame's first row could not itself be 3
+            # values: for tiny systems (plain <= 9, one row per frame) the
+            # second frame's row may legitimately have 3 values, so fall
+            # back to no box there.
             has_box = (
-                len(line_lengths) > coord_rows
+                plain > 9
+                and len(line_lengths) > coord_rows
                 and line_lengths[coord_rows] == 3
             )
     per_frame = n_atoms * 3 + (3 if has_box else 0)

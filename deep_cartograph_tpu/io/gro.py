@@ -32,7 +32,10 @@ def parse_gro(path: str):
         resnames=np.asarray(resnames, dtype=object),
         chain_ids=np.asarray([""] * n, dtype=object),
         segids=np.asarray([""] * n, dtype=object),
-        elements=np.asarray([_guess_element(nm) for nm in names], dtype=object),
+        elements=np.asarray(
+            [_guess_element(nm, rn) for nm, rn in zip(names, resnames)],
+            dtype=object,
+        ),
         positions=np.asarray(xyz, dtype=np.float32),
         occupancies=np.ones(n, dtype=np.float32),
         bfactors=np.zeros(n, dtype=np.float32),

@@ -220,7 +220,13 @@ _TWO_LETTER_ELEMENTS = {
 }
 
 
-def _guess_element(name: str) -> str:
+# Residue names for which a standalone 'NA' atom really is sodium. In
+# hetero groups like heme/porphyrin, pyrrole nitrogens are conventionally
+# named NA/NB/NC/ND, so NA only maps to sodium inside ion residues.
+_SODIUM_RESNAMES = {"NA", "NA+", "SOD", "SDM", "SODIUM"}
+
+
+def _guess_element(name: str, resname: Optional[str] = None) -> str:
     stripped = name.strip()
     if not stripped:
         return ""
@@ -231,6 +237,9 @@ def _guess_element(name: str) -> str:
     if i >= len(stripped):
         return ""
     rest = stripped[i:].upper()
+    if rest == "NA" and resname is not None and \
+            resname.strip().upper() not in _SODIUM_RESNAMES:
+        return "N"
     if rest in _TWO_LETTER_ELEMENTS:
         return _TWO_LETTER_ELEMENTS[rest]
     return rest[0]
@@ -284,7 +293,7 @@ def parse_pdb(path: str, model: int = 1) -> Topology:
                 seg = line[72:76].strip() if len(line) > 72 else ""
                 elem = line[76:78].strip() if len(line) > 76 else ""
                 if not elem:
-                    elem = _guess_element(name)
+                    elem = _guess_element(name, resname)
                 serial_to_index[serial] = len(names)
                 names.append(name)
                 resids.append(resid)

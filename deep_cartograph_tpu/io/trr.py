@@ -38,10 +38,15 @@ def _read_frame_header(data: bytes, off: int):
         raise TRRError(f"Bad TRR magic {magic} at offset {off}")
     off += 4
     # GROMACS trn layout: slen int (strlen+1 of "GMX_trn_file"), then the
-    # XDR string itself ([byte length][payload padded to 4]).
+    # XDR string itself ([byte length][payload padded to 4]). Files written
+    # by pre-round-3 versions of this repo omitted the slen int (the next
+    # int is the string's byte length, 12, instead of strlen+1, 13) —
+    # detect that legacy layout and skip straight to the string.
     if off + 4 > len(data):
         raise TRRError(f"Truncated TRR version field at offset {off}")
-    off += 4  # slen
+    (first_int,) = struct.unpack_from(">i", data, off)
+    if first_int != 12 or data[off + 4 : off + 16] != b"GMX_trn_file":
+        off += 4  # slen (modern GROMACS layout)
     _, off = _xdr_string(data, off)
     if off + 13 * 4 > len(data):
         raise TRRError(f"Truncated TRR frame header at offset {off}")

@@ -190,3 +190,43 @@ def test_clustering_scores_treats_noise_as_own_label(rng):
         clustering_scores(pts, labels_remap),
         rtol=1e-6,
     )
+
+
+def test_clustering_scores_all_noise_returns_nan(rng):
+    """When HDBSCAN marks every point as noise, the scores are NaN sentinels
+    rather than undefined single-cluster values."""
+    import numpy as np
+
+    from deep_cartograph_tpu.cluster.clustering import clustering_scores
+
+    pts = rng.normal(0, 1.0, (30, 2)).astype(np.float32)
+    ch, db, sil = clustering_scores(pts, np.full(30, -1))
+    assert np.isnan(ch) and np.isnan(db) and np.isnan(sil)
+
+
+def test_hdbscan_n_jobs_from_slurm_env(blobs, monkeypatch):
+    """hdbscan_clustering sizes joblib parallelism from the SLURM allocation
+    (reference statistics.py:229-247) unless an explicit n_jobs is given."""
+    import sklearn.cluster
+
+    from deep_cartograph_tpu.cluster import clustering as cl
+
+    data, _ = blobs
+    seen = {}
+    real = sklearn.cluster.HDBSCAN
+
+    def spy(**kw):
+        seen["n_jobs"] = kw.get("n_jobs")
+        return real(**kw)
+
+    monkeypatch.setattr(sklearn.cluster, "HDBSCAN", spy)
+    monkeypatch.setenv("SLURM_CPUS_PER_TASK", "4")
+    monkeypatch.setenv("SLURM_NTASKS", "2")
+    cl.hdbscan_clustering(data, min_cluster_size=30)
+    assert seen["n_jobs"] == 8
+    monkeypatch.setenv("SLURM_CPUS_PER_TASK", "1")
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    cl.hdbscan_clustering(data, min_cluster_size=30)
+    assert seen["n_jobs"] is None  # n_jobs=1 passes None, like the reference
+    cl.hdbscan_clustering(data, min_cluster_size=30, n_jobs=3)
+    assert seen["n_jobs"] == 3

@@ -461,3 +461,64 @@ def test_two_letter_element_guessing_and_selection(tmp_path):
     assert list(top.select("element Cl")) == [1]
     assert list(top.select("element cl")) == [1]
     assert list(top.select("element C")) == [0]
+
+
+def test_na_element_gated_on_residue(tmp_path):
+    """Heme/porphyrin pyrrole nitrogens are conventionally named NA — only
+    ion residues (NA/SOD/...) map a standalone NA atom to sodium."""
+    from deep_cartograph_tpu.io.topology import Topology, _guess_element
+
+    assert _guess_element("NA", "HEM") == "N"
+    assert _guess_element("NA", "NA") == "NA"
+    assert _guess_element("NA", "SOD") == "NA"
+    assert _guess_element("NA", "NA+") == "NA"
+    assert _guess_element("NA") == "NA"  # no residue context: keep ion guess
+
+    pdb = tmp_path / "hem.pdb"
+    pdb.write_text(
+        "HETATM    1  NA  HEM A   1       0.000   0.000   0.000"
+        "  1.00  0.00\n"
+        "HETATM    2  NA   NA A   2       1.000   0.000   0.000"
+        "  1.00  0.00\n"
+        "END\n"
+    )
+    top = Topology.from_pdb(str(pdb))
+    assert top.elements[0] == "N"
+    assert top.elements[1] == "NA"
+
+
+def test_crd_tiny_system_not_falsely_boxed(tmp_path):
+    """n_atoms=1 plain mdcrd: each frame is one 3-value line, which the box
+    heuristic must not mistake for a box record (ambiguous-divide branch)."""
+    from deep_cartograph_tpu.io.crd import read_crd
+
+    coords = np.arange(12, dtype=np.float32).reshape(4, 1, 3)
+    path = str(tmp_path / "tiny.crd")
+    with open(path, "w") as fh:
+        fh.write("tiny mdcrd\n")
+        for f in range(4):
+            fh.write("".join(f"{v:8.3f}" for v in coords[f, 0]) + "\n")
+    back = read_crd(path, 1)
+    assert back.shape == (4, 1, 3)
+    np.testing.assert_allclose(back, coords, atol=1e-3)
+
+
+def test_trr_legacy_layout_without_slen_still_reads(tmp_path, rng):
+    """Files written by pre-round-3 write_trr (no slen int before the XDR
+    version string) remain readable via the legacy-layout fallback."""
+    import struct
+
+    coords = rng.standard_normal((2, 5, 3)).astype(np.float32)
+    ref = str(tmp_path / "modern.trr")
+    write_trr(ref, coords)
+    raw = open(ref, "rb").read()
+    frame_bytes = len(raw) // 2
+    legacy = bytearray()
+    for f in range(2):
+        frame = raw[f * frame_bytes : (f + 1) * frame_bytes]
+        legacy += frame[:4] + frame[8:]  # drop the slen int after magic
+    path = str(tmp_path / "legacy.trr")
+    open(path, "wb").write(bytes(legacy))
+    magic, first_int = struct.unpack_from(">2i", legacy, 0)
+    assert magic == 1993 and first_int == 12  # XDR strlen, not slen
+    np.testing.assert_allclose(read_trr(path), coords, atol=1e-4)
