@@ -227,8 +227,18 @@ def selector_pair_distances(
 
     coords: (F, A, 3) Angstroms; sel_t: (A, P) columns of +1/-1 per pair.
     Returns (F, P). Callers pad F and P to tile multiples (PlanEvaluator
-    does). ~3x the throughput of the unfused XLA einsum at bench shapes
-    (the d^2 accumulator lives in VMEM instead of HBM).
+    does).
+
+    Measured on v5e against the production XLA form in
+    geom/kernels._evaluate_plan_chunk (three HIGHEST matmuls + fused
+    square-accumulate), 50 iterations per dispatch so kernel time
+    dominates: 0.96-1.08x across (4096,48,1128) .. (2048,1024,8192) —
+    PARITY, both MXU-bound by the HIGHEST-precision contraction. XLA
+    already keeps the d^2 accumulator in registers/VMEM for these shapes,
+    so the hand fusion buys nothing; the XLA form stays the production
+    default and this kernel stands as the tested tiling recipe (an
+    earlier ~3x figure was against the unfused (F,P,3)-materializing
+    einsum, which is no longer the comparison that matters).
     """
     f, a, _ = coords.shape
     p = sel_t.shape[1]
