@@ -580,7 +580,8 @@ class Trainer:
     # Ensemble training: all seeded tries as ONE vmapped device program
     # ------------------------------------------------------------------
     def _get_compiled_ensemble(self, optimizer, steps_per_epoch: int,
-                               n_valid: int, chunk: int):
+                               n_valid: int, chunk: int,
+                               index_offsets: Optional[Dict[str, int]] = None):
         """Jitted vmapped chunk program over a leading tries axis.
 
         The reference (and our serial path) trains num_tries seeds one after
@@ -597,8 +598,19 @@ class Trainer:
         epoch-by-epoch with unchanged semantics while paying 1/chunk of the
         dispatch round trips. The RNG stream matches the serial path
         exactly: one split per epoch for training batches, one extra split
-        consumed only on validation-check epochs (eval_mask)."""
-        key = ("ens", steps_per_epoch, n_valid, chunk)
+        consumed only on validation-check epochs (eval_mask).
+
+        `index_offsets` maps data keys to a constant row offset added to
+        every gather index for that key — zero-copy time-lagged batching:
+        pass the SAME (N, D) buffer as both "data" and "data_lag" with
+        {"data_lag": lag} and indices in [0, N - lag), and the lagged pair
+        (x_t, x_{t+lag}) is gathered from ONE buffer in HBM instead of two
+        materialized copies. At config-5 scale (100k x 25k filtered
+        features, 10 GB fp32) this halves the resident footprint and is
+        what makes full-filtered-width deep-TICA fit on a single v5e."""
+        off = dict(index_offsets or {})
+        key = ("ens", steps_per_epoch, n_valid, chunk,
+               tuple(sorted(off.items())))
         if key in self._compiled_cache:
             return self._compiled_cache[key]
         loss_fn = self.loss_fn
@@ -618,7 +630,10 @@ class Trainer:
                     params, opt_state, mrng = c2
                     idx, wt = scan_in  # (B,) GLOBAL indices into data
                     mrng, sub = jax.random.split(mrng)
-                    batch = {k: v[idx] for k, v in data.items()}
+                    batch = {
+                        k: v[idx + off[k]] if off.get(k) else v[idx]
+                        for k, v in data.items()
+                    }
                     batch["weight"] = wt
 
                     def wrapped(p):
@@ -646,7 +661,10 @@ class Trainer:
                 # vidx indexes the VALIDATION source: full_data in the
                 # random-split case, the provided validation dict otherwise
                 # (cv/deep.py builds valid_idx = arange(n_valid) then).
-                batch = {k: v[vidx] for k, v in vdata.items()}
+                batch = {
+                    k: v[vidx + off[k]] if off.get(k) else v[vidx]
+                    for k, v in vdata.items()
+                }
                 batch["weight"] = jnp.ones(n_valid, jnp.float32)
                 valid_loss, valid_aux = eval_loss_fn(params, batch, sub, beta)
                 return (params, opt_state, rng), (
@@ -675,6 +693,7 @@ class Trainer:
         valid_idx: np.ndarray,  # (T, n_valid) global indices into valid_source
         seeds: List[int],
         valid_data: Optional[Dict[str, np.ndarray]] = None,
+        index_offsets: Optional[Dict[str, int]] = None,
     ) -> List[TrainResult]:
         """Train all T seeded tries simultaneously (one vmapped program).
 
@@ -683,7 +702,10 @@ class Trainer:
         identical early-stopping / checkpoint-selection / plateau-LR
         bookkeeping — just tracked per try. valid_data defaults to
         full_data (random-split case); pass the explicit validation dict
-        for the provided-validation case.
+        for the provided-validation case. `index_offsets` enables
+        zero-copy time-lagged batching (see _get_compiled_ensemble): the
+        caller may pass the same buffer for "data" and "data_lag" with
+        {"data_lag": lag} and indices restricted to [0, N - lag).
         """
         import contextlib
 
@@ -713,6 +735,7 @@ class Trainer:
             return self._fit_ensemble(
                 params_stack, full_data, train_idx, valid_idx, seeds,
                 valid_data, routed_cpu=routed_cpu,
+                index_offsets=index_offsets,
             )
 
     def _fit_ensemble(
@@ -724,6 +747,7 @@ class Trainer:
         seeds,
         valid_data=None,
         routed_cpu: bool = False,
+        index_offsets: Optional[Dict[str, int]] = None,
     ) -> List[TrainResult]:
         cfg = self.config
         T, n_train = train_idx.shape
@@ -870,7 +894,7 @@ class Trainer:
         while epoch0 < cfg.max_epochs and not stopped.all():
             C = min(chunk_cfg, cfg.max_epochs - epoch0)
             chunk_step = self._get_compiled_ensemble(
-                optimizer, steps_per_epoch, n_valid, C
+                optimizer, steps_per_epoch, n_valid, C, index_offsets
             )
             betas = np.array(
                 [

@@ -543,3 +543,77 @@ def test_validation_runs_in_eval_mode(rng):
         [0],
     )
     assert True in calls and False in calls
+
+
+def test_fit_ensemble_index_offsets_zero_copy_lag(rng):
+    """Zero-copy lagged batching: passing ONE buffer as both "data" and
+    "data_lag" with index_offsets={"data_lag": lag} reproduces the explicit
+    two-copy path bit-for-bit (same gathers, same RNG streams). This is the
+    HBM-halving path that makes full-filtered-width deep-TICA fit at
+    config-5 scale."""
+    import jax
+    import jax.numpy as jnp
+
+    lag = 7
+    n = 131
+    x = rng.standard_normal((n, 4)).astype(np.float32)
+
+    def lag_loss():
+        def loss_fn(params, batch, rng_, beta):
+            a = batch["data"] @ params["w"]
+            b = batch["data_lag"] @ params["w"]
+            err = jnp.mean((a - b) ** 2, axis=1) + 0.01 * jnp.mean(
+                (a - 1.0) ** 2, axis=1
+            )
+            w = batch["weight"]
+            return jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1e-9), {}
+
+        return loss_fn
+
+    config = TrainerConfig(
+        batch_size=32,
+        max_epochs=8,
+        shuffle=True,
+        check_val_every_n_epoch=1,
+        early_stop_patience=50,
+        optimizer_name="Adam",
+        optimizer_kwargs={"lr": 0.05},
+        device="cpu",
+        ensemble_epoch_chunk=4,
+    )
+    seeds = [3, 4]
+    n_pairs = n - lag
+    order = np.random.default_rng(0).permutation(n_pairs).astype(np.int32)
+    train_idx = np.stack([order[:96]] * len(seeds))
+    valid_idx = np.stack([order[96:]] * len(seeds))
+    params_stack = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_init_params() for _ in seeds]
+    )
+
+    # Explicit two-copy path: materialized x_t / x_lag, same pair indices.
+    explicit = Trainer(lag_loss(), config).fit_ensemble(
+        params_stack,
+        {"data": x[:-lag], "data_lag": x[lag:]},
+        train_idx,
+        valid_idx,
+        seeds,
+    )
+
+    # Zero-copy path: ONE buffer, lag applied as a gather-index offset.
+    zero_copy = Trainer(lag_loss(), config).fit_ensemble(
+        params_stack,
+        {"data": x, "data_lag": x},
+        train_idx,
+        valid_idx,
+        seeds,
+        index_offsets={"data_lag": lag},
+    )
+
+    for res_e, res_z in zip(explicit, zero_copy):
+        assert res_e.best_epoch == res_z.best_epoch
+        np.testing.assert_array_equal(
+            np.asarray(res_e.params["w"]), np.asarray(res_z.params["w"])
+        )
+        np.testing.assert_array_equal(
+            res_e.metrics["valid_loss"], res_z.metrics["valid_loss"]
+        )
