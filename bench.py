@@ -595,34 +595,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    # The remote TPU service occasionally aborts a compile (transient
-    # "TPU backend error (Aborted)"), and RESOURCE_EXHAUSTED poisons the
-    # client CONNECTION — a process that has seen it keeps failing the
-    # identical allocation for 20+ minutes while a fresh process succeeds
-    # within seconds (measured, round 4). In-process retry only helps the
-    # transient-abort case; for anything else re-exec a fresh process.
-    try:
-        main()
-    except Exception as exc:
-        attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
-        if attempt >= 3:
-            raise
-        if "RESOURCE_EXHAUSTED" not in str(exc) and attempt == 0:
-            print(f"[bench] first attempt failed ({exc}); retrying once",
-                  file=sys.stderr, flush=True)
-            time.sleep(10)
-            try:
-                main()
-                raise SystemExit(0)
-            except SystemExit:
-                raise
-            except Exception as exc2:
-                exc = exc2
-        print(
-            f"[bench] attempt {attempt + 1} failed ({exc}); "
-            "re-exec fresh process in 120s",
-            file=sys.stderr, flush=True,
-        )
-        time.sleep(120)
-        os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
-        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+    from bench_common import run_with_recovery
+
+    run_with_recovery(main, __file__, "BENCH_ATTEMPT", tag="bench")

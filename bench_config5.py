@@ -562,25 +562,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as exc:
-        # RESOURCE_EXHAUSTED poisons the remote client CONNECTION, not the
-        # device: a process that has seen it keeps failing the same
-        # allocation for 20+ minutes, while a FRESH process allocates the
-        # identical buffer seconds later (measured, round 4). The recovery
-        # unit is the process — re-exec instead of retrying in-process.
-        attempt = int(os.environ.get("CFG5_ATTEMPT", "0"))
-        if attempt >= 4:
-            raise
-        print(
-            f"[config5] attempt {attempt + 1} failed ({exc}); "
-            "re-exec fresh process in 240s",
-            file=sys.stderr, flush=True,
-        )
-        # Long sleep: orphan reclaim on the service lags by minutes, and a
-        # retry cycle shorter than the lag generates garbage faster than
-        # it is collected (measured: 2-minute cycles never recover).
-        time.sleep(240)
-        os.environ["CFG5_ATTEMPT"] = str(attempt + 1)
-        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+    from bench_common import run_with_recovery
+
+    run_with_recovery(
+        main, __file__, "CFG5_ATTEMPT", max_attempts=5, tag="config5"
+    )

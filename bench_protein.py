@@ -196,28 +196,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as exc:
-        # RESOURCE_EXHAUSTED poisons the remote client connection (see
-        # bench_config5.py); recovery requires a FRESH process, not an
-        # in-process retry.
-        attempt = int(os.environ.get("PROTEIN_ATTEMPT", "0"))
-        if attempt >= 3 or "RESOURCE_EXHAUSTED" not in str(exc):
-            if attempt >= 3:
-                raise
-            print(f"[protein] first attempt failed ({exc}); retrying once",
-                  file=sys.stderr, flush=True)
-            time.sleep(10)
-            main()
-        else:
-            print(
-                f"[protein] attempt {attempt + 1} failed ({exc}); "
-                "re-exec fresh process in 120s",
-                file=sys.stderr, flush=True,
-            )
-            time.sleep(120)
-            os.environ["PROTEIN_ATTEMPT"] = str(attempt + 1)
-            os.execv(
-                sys.executable, [sys.executable, os.path.abspath(__file__)]
-            )
+    from bench_common import run_with_recovery
+
+    run_with_recovery(main, __file__, "PROTEIN_ATTEMPT", tag="protein")

@@ -51,11 +51,12 @@ def read_crd(
             coord_rows = (plain + 9) // 10
             # A 3-value line right after the coordinate rows only signals a
             # box when the NEXT frame's first row could not itself be 3
-            # values: for tiny systems (plain <= 9, one row per frame) the
-            # second frame's row may legitimately have 3 values, so fall
-            # back to no box there.
+            # values. The next plain frame opens with min(plain, 10) values,
+            # so the ONLY truly ambiguous case is plain == 3 (one atom);
+            # fall back to no box there. Boxed 2-3 atom systems (plain 6/9)
+            # stay detectable: their 3-value line cannot be coordinates.
             has_box = (
-                plain > 9
+                plain != 3
                 and len(line_lengths) > coord_rows
                 and line_lengths[coord_rows] == 3
             )

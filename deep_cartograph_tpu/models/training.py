@@ -581,7 +581,9 @@ class Trainer:
     # ------------------------------------------------------------------
     def _get_compiled_ensemble(self, optimizer, steps_per_epoch: int,
                                n_valid: int, chunk: int,
-                               index_offsets: Optional[Dict[str, int]] = None):
+                               index_offsets: Optional[Dict[str, int]] = None,
+                               valid_index_offsets: Optional[
+                                   Dict[str, int]] = None):
         """Jitted vmapped chunk program over a leading tries axis.
 
         The reference (and our serial path) trains num_tries seeds one after
@@ -607,10 +609,15 @@ class Trainer:
         (x_t, x_{t+lag}) is gathered from ONE buffer in HBM instead of two
         materialized copies. At config-5 scale (100k x 25k filtered
         features, 10 GB fp32) this halves the resident footprint and is
-        what makes full-filtered-width deep-TICA fit on a single v5e."""
+        what makes full-filtered-width deep-TICA fit on a single v5e.
+        `valid_index_offsets` is the same mapping for the VALIDATION
+        gather — the caller passes the training offsets only when the
+        validation source IS full_data (random-split case); an explicit
+        valid_data dict has its own layout and gets no offsets."""
         off = dict(index_offsets or {})
+        voff = dict(valid_index_offsets or {})
         key = ("ens", steps_per_epoch, n_valid, chunk,
-               tuple(sorted(off.items())))
+               tuple(sorted(off.items())), tuple(sorted(voff.items())))
         if key in self._compiled_cache:
             return self._compiled_cache[key]
         loss_fn = self.loss_fn
@@ -662,7 +669,7 @@ class Trainer:
                 # random-split case, the provided validation dict otherwise
                 # (cv/deep.py builds valid_idx = arange(n_valid) then).
                 batch = {
-                    k: v[vidx + off[k]] if off.get(k) else v[vidx]
+                    k: v[vidx + voff[k]] if voff.get(k) else v[vidx]
                     for k, v in vdata.items()
                 }
                 batch["weight"] = jnp.ones(n_valid, jnp.float32)
@@ -894,7 +901,14 @@ class Trainer:
         while epoch0 < cfg.max_epochs and not stopped.all():
             C = min(chunk_cfg, cfg.max_epochs - epoch0)
             chunk_step = self._get_compiled_ensemble(
-                optimizer, steps_per_epoch, n_valid, C, index_offsets
+                optimizer, steps_per_epoch, n_valid, C, index_offsets,
+                # Offsets describe full_data's layout; they apply to the
+                # validation gather only when validation sources from
+                # full_data (random split). An explicit valid_data dict
+                # has its own row layout and must not inherit them.
+                valid_index_offsets=(
+                    index_offsets if valid_data is None else None
+                ),
             )
             betas = np.array(
                 [

@@ -437,6 +437,42 @@ def test_crd_box_autodetection(tmp_path, rng):
     )
 
 
+def test_crd_box_autodetection_tiny_system(tmp_path, rng):
+    """Boxed mdcrd with 2 atoms (one 6-value row per frame): the 3-value
+    box line cannot be a coordinate row (the next frame opens with 6
+    values), so the box must be detected — a regression in the ambiguous
+    divide-count branch once parsed the box triples as coordinates and
+    returned 6 garbage frames instead of 4."""
+    from deep_cartograph_tpu.io.crd import read_crd
+
+    n_atoms, n_frames = 2, 4  # plain=6 per frame, boxed=9; 36 divides both
+    coords = (rng.standard_normal((n_frames, n_atoms, 3)) * 4).astype(
+        np.float32
+    )
+    path = str(tmp_path / "tinybox.crd")
+    with open(path, "w") as fh:
+        fh.write("tiny boxed mdcrd\n")
+        for f in range(n_frames):
+            flat = coords[f].reshape(-1)
+            fh.write("".join(f"{v:8.3f}" for v in flat) + "\n")
+            fh.write(f"{20.0:8.3f}{20.0:8.3f}{20.0:8.3f}\n")
+    back = read_crd(path, n_atoms)
+    assert back.shape == (n_frames, n_atoms, 3)
+    np.testing.assert_allclose(back, coords, atol=1e-3)
+
+    # 1 atom (plain=3) stays genuinely ambiguous -> no box assumed, and a
+    # plain 1-atom file must keep parsing as coordinates only.
+    path3 = str(tmp_path / "one_atom.crd")
+    one = coords[:, :1, :]
+    with open(path3, "w") as fh:
+        fh.write("one-atom mdcrd\n")
+        for f in range(n_frames):
+            fh.write(
+                "".join(f"{v:8.3f}" for v in one[f].reshape(-1)) + "\n"
+            )
+    np.testing.assert_allclose(read_crd(path3, 1), one, atol=1e-3)
+
+
 def test_two_letter_element_guessing_and_selection(tmp_path):
     """Standalone ion names map to their two-letter elements; ambiguous
     protein names (CA, HG...) stay single-letter; element selections match

@@ -617,3 +617,77 @@ def test_fit_ensemble_index_offsets_zero_copy_lag(rng):
         np.testing.assert_array_equal(
             res_e.metrics["valid_loss"], res_z.metrics["valid_loss"]
         )
+
+
+def test_fit_ensemble_index_offsets_explicit_valid_data(rng):
+    """Training offsets describe full_data's row layout; an EXPLICIT
+    valid_data dict (its own already-lagged buffers) must not inherit
+    them — a regression once shifted the validation gather by +lag,
+    clamp-reading past the end and corrupting checkpoint selection."""
+    import jax
+    import jax.numpy as jnp
+
+    lag = 7
+    n = 131
+    x = rng.standard_normal((n, 4)).astype(np.float32)
+    v = rng.standard_normal((24 + lag, 4)).astype(np.float32)
+
+    def lag_loss():
+        def loss_fn(params, batch, rng_, beta):
+            a = batch["data"] @ params["w"]
+            b = batch["data_lag"] @ params["w"]
+            err = jnp.mean((a - b) ** 2, axis=1) + 0.01 * jnp.mean(
+                (a - 1.0) ** 2, axis=1
+            )
+            w = batch["weight"]
+            return jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1e-9), {}
+
+        return loss_fn
+
+    config = TrainerConfig(
+        batch_size=32,
+        max_epochs=6,
+        shuffle=True,
+        check_val_every_n_epoch=1,
+        early_stop_patience=50,
+        optimizer_name="Adam",
+        optimizer_kwargs={"lr": 0.05},
+        device="cpu",
+        ensemble_epoch_chunk=3,
+    )
+    seeds = [5]
+    n_pairs = n - lag
+    train_idx = np.arange(n_pairs, dtype=np.int32)[None][:, :96]
+    valid_idx = np.arange(24, dtype=np.int32)[None]
+    params_stack = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_init_params() for _ in seeds]
+    )
+    valid_data = {"data": v[:-lag][:24], "data_lag": v[lag:][:24]}
+
+    # Reference: two-copy training buffers, same explicit validation dict.
+    explicit = Trainer(lag_loss(), config).fit_ensemble(
+        params_stack,
+        {"data": x[:-lag], "data_lag": x[lag:]},
+        train_idx,
+        valid_idx,
+        seeds,
+        valid_data=valid_data,
+    )
+    # Zero-copy training buffers + the SAME explicit validation dict: the
+    # training offset must not leak into the validation gather.
+    zero_copy = Trainer(lag_loss(), config).fit_ensemble(
+        params_stack,
+        {"data": x, "data_lag": x},
+        train_idx,
+        valid_idx,
+        seeds,
+        valid_data=valid_data,
+        index_offsets={"data_lag": lag},
+    )
+    for res_e, res_z in zip(explicit, zero_copy):
+        np.testing.assert_array_equal(
+            res_e.metrics["valid_loss"], res_z.metrics["valid_loss"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_e.params["w"]), np.asarray(res_z.params["w"])
+        )
