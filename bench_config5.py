@@ -50,6 +50,13 @@ DEEP_K = int(os.environ.get("CFG5_DEEP_K", 0))
 # "disk": real DCD on disk, every pass decode+upload-inclusive (default).
 # "device": frames generated on device (no host leg), for the comparison.
 SOURCE = os.environ.get("CFG5_SOURCE", "disk")
+# HTICA covariance passes: "eager" re-streams blocks through the block
+# iterator (decode+upload per pass under SOURCE=disk); "chunked" featurizes
+# the RESIDENT coords buffer inside K-block fori_loop dispatches
+# (StreamingHTICA.fit_chunked) — the TPU-native shape once coordinates are
+# device-resident (they already are, for the deep-TICA stage).
+HTICA_MODE = os.environ.get("CFG5_HTICA_MODE", "eager")
+HTICA_K = int(os.environ.get("CFG5_HTICA_K", 8))
 EPOCHS = 5
 BATCH = int(os.environ.get("CFG5_BATCH", 4096))
 N_CLUSTERS = 4
@@ -346,9 +353,22 @@ def main() -> None:
         reg=1e-6,
     )
     t0 = time.time()
-    sh.fit(block_iter)
+    if HTICA_MODE == "chunked":
+        dev_feat = evaluator.device_fn()
+
+        def htica_block_fn(start):
+            c = jax.lax.dynamic_slice_in_dim(coords_buf, start, BLOCK, 0)
+            return dev_feat(c)
+
+        sh.fit_chunked(
+            htica_block_fn, N_FRAMES, BLOCK, blocks_per_dispatch=HTICA_K
+        )
+        # the chunked programs return lazily; sync before stamping the time
+        float(jnp.asarray(sh.eigenvalues_)[0])
+    else:
+        sh.fit(block_iter)
     stages["htica_fit_s"] = round(time.time() - t0, 2)
-    _log(f"StreamingHTICA fit {stages['htica_fit_s']}s "
+    _log(f"StreamingHTICA fit [{HTICA_MODE}] {stages['htica_fit_s']}s "
          f"(top eig {float(sh.eigenvalues_[0]):.4f})")
     _hbm("after_htica")
 
@@ -523,6 +543,10 @@ def main() -> None:
             **stages,
             "warm_total_s": round(total, 2),
             "cold_total_s": round(cold_total, 2),
+            "htica_mode": HTICA_MODE,
+            "htica_blocks_per_dispatch": (
+                HTICA_K if HTICA_MODE == "chunked" else None
+            ),
             "n_filtered_std_screen": n_filtered,
             "deep_tica_input_features": K,
             "deep_tica_remat_parity_maxerr": remat_err,

@@ -65,6 +65,28 @@ def _accumulate_moments(state, x_t, x_lag, n_sub: int, sub_d: int,
     }
 
 
+def _pair_moments(x_t, x_lag, n_sub: int, sub_d: int):
+    """Raw moments of ONE group of time-lagged pairs (no accumulation).
+
+    Same pytree layout as the running state so callers can weight it
+    (e.g. mask a boundary seam out of the first dispatch) and tree-add it
+    onto the accumulator.
+    """
+    b = x_t.shape[0]
+    xt = x_t.reshape(b, n_sub, sub_d)
+    xl = x_lag.reshape(b, n_sub, sub_d)
+    return {
+        "n": jnp.asarray(b, jnp.float32),
+        "s1": jnp.sum(xt, axis=0),
+        "s1l": jnp.sum(xl, axis=0),
+        "s0": jnp.einsum("bsd,bse->sde", xt, xt),
+        "st": 0.5 * (
+            jnp.einsum("bsd,bse->sde", xt, xl)
+            + jnp.einsum("bsd,bse->sde", xl, xt)
+        ),
+    }
+
+
 def _moments_to_covs(state):
     """Per-subspace (C0, Ctau) from raw moments, mlcolvar estimator
     (mean from x_t; x_lag centered with x_t's mean; Ctau symmetrized).
@@ -86,13 +108,14 @@ def _moments_to_covs(state):
 
 
 def _zero_state(n_sub: int, sub_d: int):
-    z = jnp.zeros((n_sub, sub_d, sub_d), jnp.float32)
+    # s0/st must be DISTINCT buffers: fit_chunked donates the state pytree,
+    # and donating one aliased buffer twice is an execution error.
     return {
         "n": jnp.zeros((), jnp.float32),
         "s1": jnp.zeros((n_sub, sub_d), jnp.float32),
         "s1l": jnp.zeros((n_sub, sub_d), jnp.float32),
-        "s0": z,
-        "st": z,
+        "s0": jnp.zeros((n_sub, sub_d, sub_d), jnp.float32),
+        "st": jnp.zeros((n_sub, sub_d, sub_d), jnp.float32),
     }
 
 
@@ -395,6 +418,124 @@ class StreamingHTICA:
             return state
 
         state2 = jax.jit(pass2)()
+        c0_2, ctau_2, _ = _moments_to_covs(state2)
+        w2a, v2a = _run_batched_tica(c0_2, ctau_2, self.reg, c0_2.shape[-1])
+        w2, v2 = w2a[0], v2a[0]
+        self.eigenvalues_ = np.asarray(w2[: self.cv_dim])
+        level2 = np.asarray(v2[:, : self.cv_dim])
+        l2 = level2.reshape(self.n_sub, self.sub_out, self.cv_dim)
+        weights = np.einsum("sdo,soc->sdc", self.level1, l2)
+        self.weights = weights.reshape(self.n_features, self.cv_dim)
+
+    def fit_chunked(
+        self,
+        block_fn,
+        n_frames: int,
+        block_size: int,
+        blocks_per_dispatch: int = 8,
+    ) -> None:
+        """Middle ground between ``fit`` (one eager dispatch chain per
+        block) and ``fit_fused`` (a whole covariance pass in one program):
+        each dispatch executes ``blocks_per_dispatch`` blocks through a
+        ``lax.fori_loop``, so per-dispatch overhead amortizes K-fold while
+        the compiled program stays a constant K-block size (the scan body
+        compiles ONCE regardless of K — compile cost does not grow toward
+        the fused path's whole-pass program).
+
+        ``block_fn(start)`` must be traceable with a TRACED start (e.g. a
+        ``lax.dynamic_slice`` featurization of device-resident
+        coordinates) and return a ``(block_size, n_features)`` block —
+        same contract as ``fit_fused``. Matches ``fit``'s estimator
+        exactly (same first-block shift, same lag-frame seam pairs across
+        block boundaries; parity tests in tests/test_htica_stream.py).
+        Boundary seams are handled uniformly inside the program: each body
+        step accumulates the (lag,)-row seam against the carried tail
+        weighted by a has-carry flag that is 0.0 only for the very first
+        block, so every dispatch runs the same executable.
+        """
+        if n_frames % block_size != 0:
+            raise ValueError(
+                "n_frames must divide evenly into block_size blocks for "
+                "the chunked path."
+            )
+        n_blocks = n_frames // block_size
+        k = min(int(blocks_per_dispatch), n_blocks)
+        if k < 1 or n_blocks % k != 0:
+            raise ValueError(
+                f"blocks_per_dispatch ({blocks_per_dispatch}) must divide "
+                f"the {n_blocks}-block pass evenly."
+            )
+        if block_size <= self.lag:
+            raise ValueError("block_size must exceed lag_time.")
+        lag = self.lag
+
+        def make_chunk_program(n_sub: int, sub_d: int, project=None):
+            # state/carry donated: the accumulator updates in place across
+            # the eager chunk loop instead of doubling its footprint.
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def chunk(state, carry, has, start, shift):
+                def body(j, acc):
+                    state, carry, has = acc
+                    blk = block_fn(start + j * block_size)
+                    if project is not None:
+                        blk = project(blk)
+                    blk = blk - shift
+                    seam = _pair_moments(carry, blk[:lag], n_sub, sub_d)
+                    state = jax.tree.map(
+                        lambda s, d: s + has * d, state, seam
+                    )
+                    state = jax.tree.map(
+                        lambda s, d: s + d,
+                        state,
+                        _pair_moments(blk[:-lag], blk[lag:], n_sub, sub_d),
+                    )
+                    return state, blk[-lag:], jnp.float32(1.0)
+
+                return jax.lax.fori_loop(
+                    0, k, body, (state, carry, has)
+                )
+
+            return chunk
+
+        def run_pass(n_sub: int, sub_d: int, shift, project=None):
+            chunk = make_chunk_program(n_sub, sub_d, project)
+            state = _zero_state(n_sub, sub_d)
+            carry = jnp.zeros((lag, n_sub * sub_d), jnp.float32)
+            has = jnp.float32(0.0)
+            for cstart in range(0, n_blocks, k):
+                state, carry, has = chunk(
+                    state, carry, has,
+                    jnp.int32(cstart * block_size), shift,
+                )
+            return state
+
+        # ---- pass 1 ----
+        blk0 = block_fn(0)
+        shift = jnp.mean(blk0[:-lag], axis=0)
+        state = run_pass(self.n_sub, self.sub_d, shift)
+        c0, ctau, _ = _moments_to_covs(state)
+        evals1, evecs1 = _run_batched_tica(c0, ctau, self.reg, self.sub_out)
+        self.level1 = np.asarray(evecs1)
+        logger.info(
+            "StreamingHTICA (chunked, %d blocks/dispatch) level 1: "
+            "%d subspaces x %d -> %d dims (top eigenvalue %.4f)",
+            k, self.n_sub, self.sub_d, self.sub_out,
+            float(evals1[:, 0].max()),
+        )
+
+        # ---- pass 2 ----
+        evecs1_d = jnp.asarray(self.level1)
+        z_dim = self.n_sub * self.sub_out
+
+        def project(x):
+            xs = x.reshape(x.shape[0], self.n_sub, self.sub_d)
+            return jnp.einsum("bsd,sdo->bso", xs, evecs1_d).reshape(
+                x.shape[0], z_dim
+            )
+
+        shift2 = jnp.mean(project(blk0)[:-lag], axis=0)
+        del blk0
+        state2 = run_pass(1, z_dim, shift2, project=project)
         c0_2, ctau_2, _ = _moments_to_covs(state2)
         w2a, v2a = _run_batched_tica(c0_2, ctau_2, self.reg, c0_2.shape[-1])
         w2, v2 = w2a[0], v2a[0]

@@ -176,3 +176,59 @@ def test_fit_fused_matches_fit(rng):
     pa = np.abs(data @ a.weights)
     pb = np.abs(data @ b.weights)
     np.testing.assert_allclose(pb, pa, atol=1e-3)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 6])
+def test_fit_chunked_matches_fit(rng, k):
+    """The K-blocks-per-dispatch path reproduces fit() exactly for every
+    chunking, including the K=1 (pure eager) and K=n_blocks (whole pass
+    in one dispatch) extremes: same first-block shift, same lag-frame
+    seam pairs across block boundaries, same weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_cartograph_tpu.cv.htica_stream import StreamingHTICA
+
+    n_frames, n_feat, block = 600, 24, 100
+    data = rng.standard_normal((n_frames, n_feat)).astype(np.float32)
+    data = np.cumsum(data, axis=0) / 10 + data
+    data_d = jnp.asarray(data)
+
+    def make():
+        return StreamingHTICA(
+            n_features=n_feat, num_subspaces=4, subspaces_dimension=3,
+            cv_dimension=2, lag_time=5, reg=1e-6,
+        )
+
+    a = make()
+    a.fit(lambda: (
+        data_d[s : s + block] for s in range(0, n_frames, block)
+    ))
+    b = make()
+    b.fit_chunked(
+        lambda start: jax.lax.dynamic_slice_in_dim(data_d, start, block, 0),
+        n_frames, block, blocks_per_dispatch=k,
+    )
+
+    np.testing.assert_allclose(b.eigenvalues_, a.eigenvalues_, atol=1e-4)
+    pa = np.abs(data @ a.weights)
+    pb = np.abs(data @ b.weights)
+    np.testing.assert_allclose(pb, pa, atol=1e-3)
+
+
+def test_fit_chunked_rejects_uneven_chunking(rng):
+    import jax
+
+    from deep_cartograph_tpu.cv.htica_stream import StreamingHTICA
+
+    sh = StreamingHTICA(
+        n_features=24, num_subspaces=4, subspaces_dimension=3,
+        cv_dimension=2, lag_time=5,
+    )
+    import jax.numpy as jnp
+    data = jnp.zeros((600, 24), jnp.float32)
+    with pytest.raises(ValueError):  # 6 blocks don't chunk by 4
+        sh.fit_chunked(
+            lambda s: jax.lax.dynamic_slice_in_dim(data, s, 100, 0),
+            600, 100, blocks_per_dispatch=4,
+        )
