@@ -199,6 +199,145 @@ def read_features_matrix(
     return data[:, keep], names
 
 
+def _parse_body(body: bytes, n_cols: int) -> np.ndarray:
+    """Parse a line-aligned byte slab of a colvars body to (rows, n_cols)
+    float32 (native OpenMP parser when available, numpy fallback).
+    Comment lines ('#'-prefixed) are skipped by both parsers."""
+    import ctypes
+    import io as _io
+
+    from deep_cartograph_tpu.native.build import load_native
+
+    lib = load_native()
+    if lib is not None and hasattr(lib, "colvars_parse"):
+        max_rows = body.count(b"\n") + 1
+        out = np.empty((max_rows, n_cols), np.float32)
+        rows = lib.colvars_parse(
+            body,
+            len(body),
+            n_cols,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_rows,
+        )
+        if rows >= 0:
+            return out[:rows]
+    return np.loadtxt(
+        _io.BytesIO(body), comments="#", dtype=np.float32, ndmin=2
+    )
+
+
+def iter_features_chunks(
+    colvars_path: str,
+    chunk_rows: int,
+    feature_names: Optional[List[str]] = None,
+    start: int = 0,
+    stop: Optional[int] = None,
+    stride: int = 1,
+):
+    """Stream the feature matrix of a colvars file as (<=chunk_rows, F)
+    float32 blocks WITHOUT materializing the full matrix — the reader for
+    feature sets too large for host RAM (pair it with
+    cv.htica_stream.StreamingHTICA, whose block iterator contract this
+    satisfies; see tests/test_htica_stream.py for the end-to-end recipe).
+
+    The file is read in line-aligned byte slabs sized to ~chunk_rows rows;
+    each slab is parsed by the same native/numpy path as read_features_matrix
+    and sliced to the selected feature columns, so values are identical to
+    the in-memory reader's. `start`/`stop`/`stride` follow
+    read_features_matrix's row semantics (applied to the global row index).
+
+    Yields (rows, F) arrays; the final block may be short. Returns without
+    yielding for empty bodies.
+    """
+    all_names = read_column_names(colvars_path)
+    n_cols = len(all_names)
+    if n_cols == 0:
+        return
+    if feature_names is None:
+        keep = [
+            i for i, n in enumerate(all_names)
+            if re.search(NON_FEATURE_REGEX, n)
+        ]
+    else:
+        index = {n: i for i, n in enumerate(all_names)}
+        missing = [n for n in feature_names if n not in index]
+        if missing:
+            raise ValueError(
+                f"Features {missing} not found in colvars file {colvars_path}"
+            )
+        keep = [index[n] for n in feature_names]
+    keep_arr = np.asarray(keep, dtype=np.intp)
+
+    hit = _cache_get(colvars_path)
+    if hit is not None:
+        mat = hit[1][start:stop:stride]
+        for s in range(0, mat.shape[0], chunk_rows):
+            yield np.ascontiguousarray(
+                mat[s : s + chunk_rows][:, keep_arr]
+            )
+        return
+
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    # ~18 bytes per formatted float column is the upper end of PLUMED's
+    # default %14.9f-ish formats; size slabs so one slab ~ chunk_rows rows.
+    slab_bytes = max(chunk_rows * n_cols * 18, 1 << 20)
+    row_idx = 0            # global data-row index (comment lines excluded)
+    pending: List[np.ndarray] = []
+    pending_rows = 0
+
+    def _select(block: np.ndarray):
+        nonlocal row_idx
+        lo = row_idx
+        row_idx += block.shape[0]
+        # global [start:stop:stride] applied to this block's row range
+        first = max(start, lo)
+        if stride > 1 and first > start:
+            first = start + ((first - start + stride - 1) // stride) * stride
+        hi = row_idx if stop is None else min(stop, row_idx)
+        if first >= hi:
+            return None
+        rows = np.arange(first, hi, stride) - lo
+        if rows.size == 0:
+            return None
+        return block[rows][:, keep_arr]
+
+    with open(colvars_path, "rb") as fh:
+        carry = b""
+        while True:
+            slab = fh.read(slab_bytes)
+            if not slab:
+                break
+            slab = carry + slab
+            cut = slab.rfind(b"\n")
+            if cut < 0:
+                carry = slab
+                continue
+            carry = slab[cut + 1 :]
+            sel = _select(_parse_body(slab[: cut + 1], n_cols))
+            if sel is not None and sel.shape[0]:
+                pending.append(sel)
+                pending_rows += sel.shape[0]
+            while pending_rows >= chunk_rows:
+                merged = np.concatenate(pending) if len(pending) > 1 \
+                    else pending[0]
+                yield np.ascontiguousarray(merged[:chunk_rows])
+                rest = merged[chunk_rows:]
+                pending = [rest] if rest.shape[0] else []
+                pending_rows = rest.shape[0]
+        if carry.strip():
+            sel = _select(_parse_body(carry, n_cols))
+            if sel is not None and sel.shape[0]:
+                pending.append(sel)
+                pending_rows += sel.shape[0]
+    while pending_rows > 0:
+        merged = np.concatenate(pending) if len(pending) > 1 else pending[0]
+        yield np.ascontiguousarray(merged[:chunk_rows])
+        rest = merged[chunk_rows:]
+        pending = [rest] if rest.shape[0] else []
+        pending_rows = rest.shape[0]
+
+
 def read_features(
     colvars_paths: Union[List[str], str],
     ref_feature_names: List[str],

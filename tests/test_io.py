@@ -558,3 +558,80 @@ def test_trr_legacy_layout_without_slen_still_reads(tmp_path, rng):
     magic, first_int = struct.unpack_from(">2i", legacy, 0)
     assert magic == 1993 and first_int == 12  # XDR strlen, not slen
     np.testing.assert_allclose(read_trr(path), coords, atol=1e-4)
+
+
+@pytest.mark.parametrize("cached", [True, False])
+def test_colvars_iter_features_chunks_matches_bulk(tmp_path, rng, cached):
+    """The streaming chunk reader yields exactly the in-memory reader's
+    matrix — across chunk sizes, row windows, strides, and column
+    subsets, through both the same-run memory cache and a cold file
+    parse (native slab parser / numpy fallback)."""
+    from deep_cartograph_tpu.io.colvars import (
+        clear_memory_cache,
+        iter_features_chunks,
+        read_features_matrix,
+        write_colvars,
+    )
+
+    n, f = 137, 7
+    cols = ["time"] + [f"dist-@CA_1-@CA_{i+2}" for i in range(f)]
+    data = rng.standard_normal((n, f + 1)).astype(np.float32)
+    path = str(tmp_path / "chunks.dat")
+    write_colvars(path, data, cols)
+    if not cached:
+        clear_memory_cache()
+
+    for kwargs in (
+        {},
+        {"start": 10, "stop": 100, "stride": 3},
+        {"stride": 2},
+        {"feature_names": [cols[3], cols[1]]},
+        {"start": 5, "stride": 4,
+         "feature_names": [cols[2], cols[5], cols[4]]},
+    ):
+        ref, _ = read_features_matrix(path, **kwargs)
+        for chunk_rows in (1, 13, 50, 500):
+            got = list(iter_features_chunks(path, chunk_rows, **kwargs))
+            assert all(b.shape[0] <= chunk_rows for b in got)
+            np.testing.assert_allclose(
+                np.concatenate(got) if got else np.empty((0, ref.shape[1])),
+                ref, atol=0, rtol=0,
+            )
+
+
+def test_streaming_htica_over_colvars_chunks(tmp_path, rng):
+    """End-to-end recipe for colvars files too large for RAM: StreamingHTICA
+    fed by io.colvars.iter_features_chunks matches the in-memory HTICA
+    solution on the same data."""
+    from deep_cartograph_tpu.cv.htica_stream import StreamingHTICA
+    from deep_cartograph_tpu.io.colvars import (
+        clear_memory_cache,
+        iter_features_chunks,
+        write_colvars,
+    )
+
+    n, f = 400, 16
+    data = rng.standard_normal((n, f)).astype(np.float32)
+    data = (np.cumsum(data, axis=0) / 10 + data).astype(np.float32)
+    cols = [f"dist-@CA_1-@CA_{i+2}" for i in range(f)]
+    path = str(tmp_path / "wide.dat")
+    write_colvars(path, data, cols, fmt="%.6f")
+    clear_memory_cache()  # force the file-parse path
+
+    sh = StreamingHTICA(
+        n_features=f, num_subspaces=4, subspaces_dimension=2,
+        cv_dimension=2, lag_time=5, reg=1e-6,
+    )
+    sh.fit(lambda: iter_features_chunks(path, 64))
+
+    dense = StreamingHTICA(
+        n_features=f, num_subspaces=4, subspaces_dimension=2,
+        cv_dimension=2, lag_time=5, reg=1e-6,
+    )
+    quant = np.round(data.astype(np.float64), 6).astype(np.float32)
+    dense.fit(lambda: iter([quant]))
+
+    np.testing.assert_allclose(sh.eigenvalues_, dense.eigenvalues_, atol=1e-4)
+    pa = np.abs(quant @ dense.weights)
+    pb = np.abs(quant @ sh.weights)
+    np.testing.assert_allclose(pb, pa, atol=1e-3)
