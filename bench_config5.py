@@ -57,6 +57,14 @@ SOURCE = os.environ.get("CFG5_SOURCE", "disk")
 # device-resident (they already are, for the deep-TICA stage).
 HTICA_MODE = os.environ.get("CFG5_HTICA_MODE", "eager")
 HTICA_K = int(os.environ.get("CFG5_HTICA_K", 8))
+# fit_chunked needs blocks_per_dispatch to divide the pass evenly; resolve
+# the effective K from the frame/block combo UP FRONT (largest divisor of
+# n_blocks <= HTICA_K) so an incompatible combo can't crash the bench after
+# minutes of upload/featurize/filter stages.
+_N_BLOCKS = max(N_FRAMES // BLOCK, 1)
+HTICA_K_EFF = max(
+    d for d in range(1, min(HTICA_K, _N_BLOCKS) + 1) if _N_BLOCKS % d == 0
+)
 EPOCHS = 5
 BATCH = int(os.environ.get("CFG5_BATCH", 4096))
 N_CLUSTERS = 4
@@ -354,14 +362,21 @@ def main() -> None:
     )
     t0 = time.time()
     if HTICA_MODE == "chunked":
-        dev_feat = evaluator.device_fn()
+        # Closure-free composition: coords + plan arrays ride as traced
+        # jit arguments of the chunk program (block_args). Closing over
+        # them would bake the 384 MB coords buffer and every plan array
+        # into the lowered module as XLA constants — unshippable through
+        # the remote-compile tunnel (see PlanEvaluator.device_fn_args).
+        feat_fn, plan_args = evaluator.device_fn_args()
 
-        def htica_block_fn(start):
-            c = jax.lax.dynamic_slice_in_dim(coords_buf, start, BLOCK, 0)
-            return dev_feat(c)
+        def htica_block_fn(start, coords, *plan):
+            c = jax.lax.dynamic_slice_in_dim(coords, start, BLOCK, 0)
+            return feat_fn(c, *plan)
 
         sh.fit_chunked(
-            htica_block_fn, N_FRAMES, BLOCK, blocks_per_dispatch=HTICA_K
+            htica_block_fn, N_FRAMES, BLOCK,
+            blocks_per_dispatch=HTICA_K_EFF,
+            block_args=(coords_buf, *plan_args),
         )
         # the chunked programs return lazily; sync before stamping the time
         float(jnp.asarray(sh.eigenvalues_)[0])
@@ -545,7 +560,12 @@ def main() -> None:
             "cold_total_s": round(cold_total, 2),
             "htica_mode": HTICA_MODE,
             "htica_blocks_per_dispatch": (
-                HTICA_K if HTICA_MODE == "chunked" else None
+                HTICA_K_EFF if HTICA_MODE == "chunked" else None
+            ),
+            # chunked HTICA featurizes the RESIDENT coords buffer — that
+            # stage pays no decode/upload leg even under SOURCE=disk.
+            "htica_decode_inclusive": (
+                SOURCE == "disk" and HTICA_MODE != "chunked"
             ),
             "n_filtered_std_screen": n_filtered,
             "deep_tica_input_features": K,

@@ -433,6 +433,7 @@ class StreamingHTICA:
         n_frames: int,
         block_size: int,
         blocks_per_dispatch: int = 8,
+        block_args: tuple = (),
     ) -> None:
         """Middle ground between ``fit`` (one eager dispatch chain per
         block) and ``fit_fused`` (a whole covariance pass in one program):
@@ -442,10 +443,18 @@ class StreamingHTICA:
         compiles ONCE regardless of K — compile cost does not grow toward
         the fused path's whole-pass program).
 
-        ``block_fn(start)`` must be traceable with a TRACED start (e.g. a
-        ``lax.dynamic_slice`` featurization of device-resident
-        coordinates) and return a ``(block_size, n_features)`` block —
-        same contract as ``fit_fused``. Matches ``fit``'s estimator
+        ``block_fn(start, *block_args)`` must be traceable with a TRACED
+        start (e.g. a ``lax.dynamic_slice`` featurization of
+        device-resident coordinates) and return a
+        ``(block_size, n_features)`` block. Any device array the block
+        evaluation needs (the coordinate buffer, featurization plan
+        arrays, ...) MUST ride in ``block_args`` — a pytree passed to the
+        chunk program as traced jit ARGUMENTS — not be closed over by
+        ``block_fn``: a closure-captured array is baked into the lowered
+        module as a dense XLA constant (a 384 MB coordinate buffer
+        becomes a 384 MB program), which this project's remote-compile
+        environment cannot afford (see geom/kernels._evaluate_plan_chunk's
+        docstring for the same rule). Matches ``fit``'s estimator
         exactly (same first-block shift, same lag-frame seam pairs across
         block boundaries; parity tests in tests/test_htica_stream.py).
         Boundary seams are handled uniformly inside the program: each body
@@ -473,10 +482,10 @@ class StreamingHTICA:
             # state/carry donated: the accumulator updates in place across
             # the eager chunk loop instead of doubling its footprint.
             @partial(jax.jit, donate_argnums=(0, 1))
-            def chunk(state, carry, has, start, shift):
+            def chunk(state, carry, has, start, shift, bargs):
                 def body(j, acc):
                     state, carry, has = acc
-                    blk = block_fn(start + j * block_size)
+                    blk = block_fn(start + j * block_size, *bargs)
                     if project is not None:
                         blk = project(blk)
                     blk = blk - shift
@@ -505,13 +514,17 @@ class StreamingHTICA:
             for cstart in range(0, n_blocks, k):
                 state, carry, has = chunk(
                     state, carry, has,
-                    jnp.int32(cstart * block_size), shift,
+                    jnp.int32(cstart * block_size), shift, block_args,
                 )
             return state
 
         # ---- pass 1 ----
-        blk0 = block_fn(0)
+        # The first block is evaluated eagerly ONLY to compute each pass's
+        # shift, and freed immediately: at production scale one block is
+        # hundreds of MB of HBM, too much to pin across a whole pass.
+        blk0 = block_fn(0, *block_args)
         shift = jnp.mean(blk0[:-lag], axis=0)
+        del blk0
         state = run_pass(self.n_sub, self.sub_d, shift)
         c0, ctau, _ = _moments_to_covs(state)
         evals1, evecs1 = _run_batched_tica(c0, ctau, self.reg, self.sub_out)
@@ -533,6 +546,7 @@ class StreamingHTICA:
                 x.shape[0], z_dim
             )
 
+        blk0 = block_fn(0, *block_args)  # one extra dispatch, no residency
         shift2 = jnp.mean(project(blk0)[:-lag], axis=0)
         del blk0
         state2 = run_pass(1, z_dim, shift2, project=project)

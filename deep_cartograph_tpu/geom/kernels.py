@@ -477,5 +477,34 @@ class PlanEvaluator:
 
     def device_fn(self):
         """A coords-only callable of the plan program (for callers that
-        re-jit with shardings or compose it into larger programs)."""
+        re-jit with shardings or compose it into larger programs).
+
+        WARNING: tracing this inside an OUTER jit captures every plan
+        array by closure, baking them into the lowered module as dense
+        XLA constants. For composition into larger jitted programs use
+        device_fn_args() instead."""
         return self._run
+
+    def device_fn_args(self):
+        """(fn, plan_args): the closure-free plan program for composing
+        into OUTER jitted programs — ``fn(coords, *plan_args)`` evaluates
+        the plan with every plan array a traced ARGUMENT, so an enclosing
+        jit receives them as parameters instead of embedding them as XLA
+        constants (the rule _evaluate_plan_chunk's docstring mandates;
+        constants inflate the lowered module by the arrays' full bytes,
+        catastrophic through a remote-compile service)."""
+        plan_args = self._plan_args()
+        n_features = self._n_features
+        has_centers = self._has_centers
+        identity_layout = self._identity_layout
+
+        def fn(coords, *plan):
+            return _evaluate_plan_chunk(
+                coords,
+                *plan,
+                n_features=n_features,
+                has_centers=has_centers,
+                identity_layout=identity_layout,
+            )
+
+        return fn, plan_args

@@ -125,38 +125,19 @@ def _load_matrix(colvars_path: str) -> np.ndarray:
     Files written by this process in the same run are served from the
     memory cache (values identical to a file parse — quantized at write).
     """
-    import ctypes
-
-    from deep_cartograph_tpu.native.build import load_native
-
     hit = _cache_get(colvars_path)
     if hit is not None:
         # copy: callers may hand the matrix to pandas or mutate slices
         return hit[1].copy()
 
-    lib = load_native()
-    if lib is not None and hasattr(lib, "colvars_parse"):
-        n_cols = len(read_column_names(colvars_path))
-        if n_cols > 0:
-            with open(colvars_path, "rb") as fh:
-                buf = fh.read()
-            # upper bound on rows: newline count
-            max_rows = buf.count(b"\n") + 1
-            out = np.empty((max_rows, n_cols), np.float32)
-            rows = lib.colvars_parse(
-                buf,
-                len(buf),
-                n_cols,
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                max_rows,
-            )
-            if rows >= 0:
-                return out[:rows].copy()
-            logger.warning(
-                "Native colvars parse failed for %s; falling back to numpy.",
-                colvars_path,
-            )
-    return np.loadtxt(colvars_path, comments="#", dtype=np.float32, ndmin=2)
+    n_cols = len(read_column_names(colvars_path))
+    if n_cols == 0:
+        return np.loadtxt(
+            colvars_path, comments="#", dtype=np.float32, ndmin=2
+        )
+    with open(colvars_path, "rb") as fh:
+        buf = fh.read()
+    return _parse_body(buf, n_cols, origin=colvars_path)
 
 
 def read_colvars(colvars_path: str, **kwargs) -> pd.DataFrame:
@@ -184,8 +165,24 @@ def read_features_matrix(
     """
     all_names = read_column_names(colvars_path)
     data = _load_matrix(colvars_path)[start:stop:stride]
+    keep, names = _resolve_feature_columns(
+        all_names, feature_names, colvars_path
+    )
+    return data[:, keep], names
+
+
+def _resolve_feature_columns(
+    all_names: List[str],
+    feature_names: Optional[List[str]],
+    colvars_path: str,
+) -> tuple[List[int], List[str]]:
+    """Column indices + names for a feature selection: the requested names
+    in their requested order, or every non-label/time/bias/walker column."""
     if feature_names is None:
-        keep = [i for i, n in enumerate(all_names) if re.search(NON_FEATURE_REGEX, n)]
+        keep = [
+            i for i, n in enumerate(all_names)
+            if re.search(NON_FEATURE_REGEX, n)
+        ]
         names = [all_names[i] for i in keep]
     else:
         index = {n: i for i, n in enumerate(all_names)}
@@ -196,10 +193,10 @@ def read_features_matrix(
             )
         keep = [index[n] for n in feature_names]
         names = list(feature_names)
-    return data[:, keep], names
+    return keep, names
 
 
-def _parse_body(body: bytes, n_cols: int) -> np.ndarray:
+def _parse_body(body: bytes, n_cols: int, origin: str = "<slab>") -> np.ndarray:
     """Parse a line-aligned byte slab of a colvars body to (rows, n_cols)
     float32 (native OpenMP parser when available, numpy fallback).
     Comment lines ('#'-prefixed) are skipped by both parsers."""
@@ -221,6 +218,10 @@ def _parse_body(body: bytes, n_cols: int) -> np.ndarray:
         )
         if rows >= 0:
             return out[:rows]
+        logger.warning(
+            "Native colvars parse failed for %s; falling back to numpy.",
+            origin,
+        )
     return np.loadtxt(
         _io.BytesIO(body), comments="#", dtype=np.float32, ndmin=2
     )
@@ -244,28 +245,29 @@ def iter_features_chunks(
     each slab is parsed by the same native/numpy path as read_features_matrix
     and sliced to the selected feature columns, so values are identical to
     the in-memory reader's. `start`/`stop`/`stride` follow
-    read_features_matrix's row semantics (applied to the global row index).
+    read_features_matrix's row semantics (applied to the global row index),
+    except that negative start/stop are rejected: the streaming reader
+    never knows the total row count up front, so Python's from-the-end
+    indexing cannot be honored.
 
     Yields (rows, F) arrays; the final block may be short. Returns without
     yielding for empty bodies.
     """
+    if chunk_rows < 1:
+        raise ValueError(f"chunk_rows must be >= 1, got {chunk_rows}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if start < 0 or (stop is not None and stop < 0):
+        raise ValueError(
+            "negative start/stop are not supported by the streaming "
+            f"reader (got start={start}, stop={stop}); use "
+            "read_features_matrix for from-the-end indexing"
+        )
     all_names = read_column_names(colvars_path)
     n_cols = len(all_names)
     if n_cols == 0:
         return
-    if feature_names is None:
-        keep = [
-            i for i, n in enumerate(all_names)
-            if re.search(NON_FEATURE_REGEX, n)
-        ]
-    else:
-        index = {n: i for i, n in enumerate(all_names)}
-        missing = [n for n in feature_names if n not in index]
-        if missing:
-            raise ValueError(
-                f"Features {missing} not found in colvars file {colvars_path}"
-            )
-        keep = [index[n] for n in feature_names]
+    keep, _ = _resolve_feature_columns(all_names, feature_names, colvars_path)
     keep_arr = np.asarray(keep, dtype=np.intp)
 
     hit = _cache_get(colvars_path)
@@ -276,9 +278,6 @@ def iter_features_chunks(
                 mat[s : s + chunk_rows][:, keep_arr]
             )
         return
-
-    if stride < 1:
-        raise ValueError(f"stride must be >= 1, got {stride}")
     # ~18 bytes per formatted float column is the upper end of PLUMED's
     # default %14.9f-ish formats; size slabs so one slab ~ chunk_rows rows.
     slab_bytes = max(chunk_rows * n_cols * 18, 1 << 20)

@@ -163,3 +163,41 @@ def test_matmul_gather_strategies_agree(ca_system):
     gather = PlanEvaluator(plan, gather_strategy="gather")(ca_system.coords)
     matmul = PlanEvaluator(plan, gather_strategy="matmul")(ca_system.coords)
     np.testing.assert_allclose(matmul, gather, atol=1e-5)
+
+
+def test_device_fn_args_closure_free_composition(ca_system):
+    """device_fn_args composes into an OUTER jit with plan arrays as traced
+    ARGUMENTS: values match device_fn exactly, and the lowered module stays
+    small (a closure capture embeds the plan arrays — and whatever buffer
+    the caller slices from — as dense XLA constants; see
+    StreamingHTICA.fit_chunked's block_args contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    top = Topology.from_pdb(ca_system.pdb_path)
+    labels = [
+        "dist-@CA_1-@CA_5",
+        "dist-@CA_2-@CA_9",
+        "tor-@CA_4-@CA_5-@CA_6-@CA_7",
+    ]
+    plan = compile_plan(labels, top)
+    evaluator = PlanEvaluator(plan)
+    coords = jnp.asarray(ca_system.coords)
+
+    fn, plan_args = evaluator.device_fn_args()
+    outer_args = jax.jit(lambda c, *p: fn(c, *p) * 2.0)
+    got = outer_args(coords, *plan_args)
+    want = evaluator.eval_raw(ca_system.coords) * 2.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # the args-passing lowering must not embed the big buffer: compare
+    # against a closure-capturing lowering of the same computation.
+    big = jnp.tile(coords, (64, 1, 1))  # make the capture cost visible
+    lower_args = jax.jit(
+        lambda b, *p: fn(b[: coords.shape[0]], *p)
+    ).lower(big, *plan_args)
+    closure_fn = evaluator.device_fn()
+    lower_closure = jax.jit(
+        lambda: closure_fn(big[: coords.shape[0]])
+    ).lower()
+    assert len(lower_args.as_text()) * 5 < len(lower_closure.as_text())

@@ -216,6 +216,42 @@ def test_fit_chunked_matches_fit(rng, k):
     np.testing.assert_allclose(pb, pa, atol=1e-3)
 
 
+def test_fit_chunked_block_args_matches_closure(rng):
+    """Passing the data buffer via block_args (traced jit arguments —
+    the production shape, which keeps device buffers out of the lowered
+    module) produces exactly the closure-capture result."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_cartograph_tpu.cv.htica_stream import StreamingHTICA
+
+    n_frames, n_feat, block = 600, 24, 100
+    data = rng.standard_normal((n_frames, n_feat)).astype(np.float32)
+    data = np.cumsum(data, axis=0) / 10 + data
+    data_d = jnp.asarray(data)
+
+    def make():
+        return StreamingHTICA(
+            n_features=n_feat, num_subspaces=4, subspaces_dimension=3,
+            cv_dimension=2, lag_time=5, reg=1e-6,
+        )
+
+    a = make()
+    a.fit_chunked(
+        lambda start: jax.lax.dynamic_slice_in_dim(data_d, start, block, 0),
+        n_frames, block, blocks_per_dispatch=3,
+    )
+    b = make()
+    b.fit_chunked(
+        lambda start, buf: jax.lax.dynamic_slice_in_dim(buf, start, block, 0),
+        n_frames, block, blocks_per_dispatch=3, block_args=(data_d,),
+    )
+    np.testing.assert_allclose(b.eigenvalues_, a.eigenvalues_, atol=1e-5)
+    np.testing.assert_allclose(
+        np.abs(data @ b.weights), np.abs(data @ a.weights), atol=1e-4
+    )
+
+
 def test_fit_chunked_rejects_uneven_chunking(rng):
     import jax
 

@@ -635,3 +635,36 @@ def test_streaming_htica_over_colvars_chunks(tmp_path, rng):
     pa = np.abs(quant @ dense.weights)
     pb = np.abs(quant @ sh.weights)
     np.testing.assert_allclose(pb, pa, atol=1e-3)
+
+
+def test_colvars_iter_features_chunks_validation(tmp_path, rng):
+    """Invalid arguments fail identically on the cache-hit and cold paths
+    (no cache-state-dependent behavior): chunk_rows/stride must be >= 1,
+    negative start/stop are rejected (a streaming reader never knows the
+    total row count, so from-the-end indexing cannot be honored)."""
+    from deep_cartograph_tpu.io.colvars import (
+        clear_memory_cache,
+        iter_features_chunks,
+        write_colvars,
+    )
+
+    cols = ["time", "dist-@CA_1-@CA_2"]
+    data = rng.standard_normal((30, 2)).astype(np.float32)
+    path = str(tmp_path / "val.dat")
+    write_colvars(path, data, cols)
+
+    for cold in (False, True):
+        if cold:
+            clear_memory_cache()
+        for bad in (
+            {"chunk_rows": 0},
+            {"chunk_rows": -3},
+            {"stride": 0},
+            {"stride": -1},
+            {"start": -10},
+            {"stop": -5},
+        ):
+            kwargs = {"chunk_rows": 4, **bad}
+            rows = kwargs.pop("chunk_rows")
+            with pytest.raises(ValueError):
+                next(iter_features_chunks(path, rows, **kwargs))
