@@ -588,10 +588,14 @@ class CVCalculator(ABC):
             "sensitivity": {"Dataset": np.asarray(sensitivities)},
         }
         plot_sensitivity_results(results, modes=["barh"], output_folder=folder)
+        if self.ref_topology_path is None:
+            # Colvars-only training (no topology given): per-atom mapping
+            # needs a structure; the per-feature CSV/plot above still land.
+            return
         per_atom = self.compute_atom_sensitivities(
             list(feature_labels), np.asarray(sensitivities)
         )
-        if self.ref_topology_path is not None and per_atom:
+        if per_atom:
             map_sensitivity_to_structure(per_atom, self.ref_topology_path, folder)
 
     # Getters ------------------------------------------------------------

@@ -226,6 +226,11 @@ class StreamingHTICA:
         """Yield (x_t, x_lag) device pairs with a lag-frame carry so pairs
         straddling block boundaries are not lost.
 
+        A ``None`` item is a SEGMENT BREAK (e.g. a trajectory-file
+        boundary): it resets the carry, so no time-lagged pair is formed
+        across it — the same per-trajectory pairing contract as
+        cv/tica_math.create_timelagged_dataset_multi.
+
         Uniform blocks longer than the lag yield TWO pairs per block —
         the (lag, F) boundary seam against the carry, then the block's
         interior — instead of concatenating carry+block: at production
@@ -238,6 +243,9 @@ class StreamingHTICA:
         lag = self.lag
         carry = None
         for block in block_iter:
+            if block is None:  # segment break: no pairs across it
+                carry = None
+                continue
             if self._block_sharding is not None:
                 # device_put the host array straight into the sharding —
                 # jnp.asarray first would commit the whole block to one
@@ -268,7 +276,9 @@ class StreamingHTICA:
 
     def fit(self, make_block_iter: Callable[[], Iterable]) -> None:
         """make_block_iter: zero-arg callable returning a fresh iterator of
-        (block_frames, n_features) arrays (called once per pass)."""
+        (block_frames, n_features) arrays (called once per pass). ``None``
+        items are segment breaks — the lag carry resets, so pairs never
+        straddle them (multi-trajectory streams)."""
         # ---- pass 1: per-subspace moments -> level-1 eigenvectors ----
         # Raw second moments in f32 cancel catastrophically when feature
         # means dominate their variance (S0/n ~ mu^2 + tiny) — producing

@@ -137,6 +137,9 @@ class LinearCalculator(CVCalculator):
         projected = np.asarray(
             jnp.asarray(self.training_data) @ jnp.asarray(self.cv, jnp.float32)
         )
+        self._set_cv_stats_from_projection(projected)
+
+    def _set_cv_stats_from_projection(self, projected: np.ndarray) -> None:
         self.cv_stats = {
             "min": projected.min(axis=0).astype(np.float64),
             "max": projected.max(axis=0).astype(np.float64),
@@ -262,13 +265,224 @@ class HTICACalculator(LinearCalculator):
         self.subspaces_dimension = self.configuration.get("subspaces_dimension")
         self.x_t: Optional[np.ndarray] = None
         self.x_lag: Optional[np.ndarray] = None
+        self._streaming = False
+        self._stream_paths: Optional[List[str]] = None
+        self._stream_projection: Optional[np.ndarray] = None
         logger.info("Creating %s Calculator ...", cv_names_map[self.cv_name])
 
-    def load_training_data(self, *args, **kwargs) -> None:
-        super().load_training_data(*args, **kwargs)
+    def load_training_data(
+        self,
+        train_colvars_paths,
+        train_topology_paths=None,
+        ref_topology_path=None,
+        features_list=None,
+    ) -> None:
+        if self._should_stream(train_colvars_paths, train_topology_paths):
+            self._setup_streaming(
+                train_colvars_paths, ref_topology_path, features_list
+            )
+            return
+        super().load_training_data(
+            train_colvars_paths, train_topology_paths, ref_topology_path,
+            features_list,
+        )
         self.x_t, self.x_lag = self._lagged_blocks()
 
+    # -- larger-than-RAM training sets: stream from disk -----------------
+    # The reference materializes the full feature matrix in host RAM
+    # (cv_calculator.py:2269-2384 via colvars.py:322-473) and OOMs past
+    # it. Here HTICA optionally streams the colvars files in bounded
+    # blocks (io.colvars.iter_features_chunks -> StreamingHTICA two-pass
+    # covariances on device), so the width/length ceiling is disk, not
+    # RAM. Triggered by configuration key `streaming: true`, or
+    # automatically when the estimated fp32 matrix exceeds
+    # DEEP_CARTO_STREAM_BYTES (default 4 GiB; 0 disables auto).
+    def _should_stream(self, paths, topology_paths) -> bool:
+        from deep_cartograph_tpu.io.colvars import is_plumed_file
+
+        mode = self.configuration.get("streaming", "auto")
+        if mode in (False, "off", "false"):
+            return False
+        if isinstance(paths, str):
+            paths = [paths]
+        streamable = topology_paths is None and all(
+            is_plumed_file(p) for p in paths
+        )
+        if mode is True or mode == "on":
+            if not streamable:
+                logger.warning(
+                    "streaming=true requested but the inputs need "
+                    "cross-topology translation or are not PLUMED files; "
+                    "falling back to in-memory loading."
+                )
+            return streamable
+        if not streamable:
+            return False
+        threshold = int(
+            os.environ.get("DEEP_CARTO_STREAM_BYTES", 4 * 2**30)
+        )
+        if threshold <= 0:
+            return False
+        return self._estimate_matrix_bytes(paths) > threshold
+
+    def _estimate_matrix_bytes(self, paths) -> int:
+        """Cheap fp32-matrix size estimate from file sizes + a head sample
+        (rows ~ bytes / avg data-line length), honoring the reading
+        window. Only used to pick a loading strategy."""
+        from deep_cartograph_tpu.io.colvars import read_column_names
+
+        read = self.training_reading_settings
+        start = read.get("start", 0)
+        stop = read.get("stop", None)
+        stride = max(read.get("stride", 1), 1)
+        n_feat = len(
+            self.configuration.get("features_list")
+            or read_column_names(paths[0], features_only=True)
+        )
+        total_rows = 0
+        for p in paths:
+            size = os.path.getsize(p)
+            with open(p, "rb") as fh:
+                head = fh.read(65536)
+            lines = [
+                ln for ln in head.split(b"\n")
+                if ln and not ln.startswith(b"#")
+            ]
+            bpr = (
+                sum(len(ln) + 1 for ln in lines) / len(lines)
+                if lines else max(n_feat, 1) * 12
+            )
+            rows = int(size / max(bpr, 1))
+            rows = len(range(start, rows if stop is None else min(stop, rows),
+                             stride)) if rows > start else 0
+            total_rows += rows
+        return total_rows * n_feat * 4
+
+    def _setup_streaming(
+        self, train_colvars_paths, ref_topology_path, features_list
+    ) -> None:
+        from deep_cartograph_tpu.io.colvars import read_column_names
+
+        if isinstance(train_colvars_paths, str):
+            train_colvars_paths = [train_colvars_paths]
+        self._streaming = True
+        self._stream_paths = list(train_colvars_paths)
+        self.ref_topology_path = ref_topology_path
+        self.features_ref_labels = list(
+            features_list
+            or read_column_names(self._stream_paths[0], features_only=True)
+        )
+        self.num_features = len(self.features_ref_labels)
+        logger.info(
+            "HTICA streaming mode: %d features over %d file(s) "
+            "(bounded-memory two-pass fit).",
+            self.num_features, len(self._stream_paths),
+        )
+        # one streaming pass for the normalization statistics
+        cnt = 0
+        s1 = np.zeros(self.num_features, np.float64)
+        s2 = np.zeros(self.num_features, np.float64)
+        mn = np.full(self.num_features, np.inf, np.float64)
+        mx = np.full(self.num_features, -np.inf, np.float64)
+        for blk in self._stream_blocks():
+            b64 = blk.astype(np.float64)
+            cnt += b64.shape[0]
+            s1 += b64.sum(axis=0)
+            s2 += (b64 * b64).sum(axis=0)
+            np.minimum(mn, b64.min(axis=0), out=mn)
+            np.maximum(mx, b64.max(axis=0), out=mx)
+        if cnt == 0:
+            raise ValueError(
+                f"No rows read from colvars files {self._stream_paths} "
+                "with the configured reading window."
+            )
+        mean = s1 / cnt
+        var = np.maximum(s2 / cnt - mean * mean, 0.0)
+        self.features_stats = {
+            "mean": mean,
+            "std": np.sqrt(var),
+            "min": mn,
+            "max": mx,
+        }
+        self.features_norm_mean, self.features_norm_range = (
+            self.prepare_normalization()
+        )
+
+    def _stream_blocks(self, with_breaks: bool = False):
+        """Bounded-memory block stream over the training colvars files in
+        order, honoring the configured reading window per file (the same
+        per-file semantics as load_dataframe). With ``with_breaks``, a
+        None sentinel separates files so lag pairs never cross them."""
+        from deep_cartograph_tpu.io.colvars import iter_features_chunks
+
+        read = self.training_reading_settings
+        chunk_rows = int(os.environ.get("DEEP_CARTO_STREAM_CHUNK_ROWS", 0))
+        if chunk_rows <= 0:
+            # target ~256 MB fp32 per block
+            chunk_rows = max((256 * 2**20) // (4 * self.num_features), 1024)
+        first = True
+        for path in self._stream_paths:
+            if not first and with_breaks:
+                yield None
+            first = False
+            yield from iter_features_chunks(
+                path,
+                chunk_rows,
+                feature_names=self.features_ref_labels,
+                start=read.get("start", 0),
+                stop=read.get("stop", None),
+                stride=max(read.get("stride", 1), 1),
+            )
+
+    def _normalized_stream(self, with_breaks: bool = False, pad_to: int = 0):
+        mean = self.features_norm_mean.astype(np.float32)
+        rng = self.features_norm_range.astype(np.float32)
+        for blk in self._stream_blocks(with_breaks=with_breaks):
+            if blk is None:
+                yield None
+                continue
+            nb = (blk - mean) / rng
+            if pad_to > nb.shape[1]:
+                nb = np.pad(nb, ((0, 0), (0, pad_to - nb.shape[1])))
+            yield nb
+
+    def _compute_cv_streaming(self) -> None:
+        from deep_cartograph_tpu.cv.htica_stream import StreamingHTICA
+
+        lag = self.configuration.get("lag_time", 1)
+        reg = self.configuration.get("tica_regularization", 1e-6)
+        n_sub = self.num_subspaces
+        # StreamingHTICA wants equal contiguous subspaces; pad the feature
+        # axis with zeros up to a multiple (zero-variance pad dims carry ~0
+        # eigenvalue under regularization and their weight rows are
+        # dropped below). Uneven widths therefore differ slightly from the
+        # in-memory split_subspaces blocking — streaming targets scales
+        # where the in-memory path cannot run at all.
+        sub_d = -(-self.num_features // n_sub)
+        padded = sub_d * n_sub
+        sh = StreamingHTICA(
+            n_features=padded,
+            num_subspaces=n_sub,
+            subspaces_dimension=self.subspaces_dimension,
+            cv_dimension=self.cv_dimension,
+            lag_time=lag,
+            reg=reg,
+        )
+        try:
+            sh.fit(
+                lambda: self._normalized_stream(with_breaks=True,
+                                                pad_to=padded)
+            )
+        except Exception as exc:
+            logger.error("TICA could not be computed. Error message: %s", exc)
+            return
+        self.eigenvalues_ = sh.eigenvalues_
+        self.cv = np.asarray(sh.weights[: self.num_features], np.float32)
+
     def compute_cv(self) -> None:
+        if self._streaming:
+            self._compute_cv_streaming()
+            return
         reg = self.configuration.get("tica_regularization", 1e-6)
         try:
             blocks = split_subspaces(self.num_features, self.num_subspaces)
@@ -309,3 +523,44 @@ class HTICACalculator(LinearCalculator):
             logger.error("TICA could not be computed. Error message: %s", exc)
             return
         self.cv = transform @ level2
+
+    def normalize_cv(self) -> None:
+        if not self._streaming:
+            super().normalize_cv()
+            return
+        # streaming pass: project every block, track min/max; keep the
+        # (frames, cv_dim) projection — it is tiny — for run()'s output.
+        projs = [
+            np.asarray(blk @ self.cv.astype(np.float32))
+            for blk in self._normalized_stream()
+        ]
+        projected = np.concatenate(projs, axis=0)
+        self._set_cv_stats_from_projection(projected)
+        self._stream_projection = projected
+
+    def run(self, cv_dimension=None):
+        if not self._streaming:
+            return super().run(cv_dimension)
+        # Streaming variant of the base run() template: identical steps,
+        # but the training data never materializes — the projection
+        # dataframe comes from normalize_cv's streaming pass, and nothing
+        # is routed to the host CPU (streaming implies production scale).
+        import pandas as pd
+
+        self.create_output_folders()
+        if cv_dimension:
+            self.cv_dimension = cv_dimension
+        self.compute_cv()
+        self.set_labels()
+        if self.cv is None:
+            return None
+        self.normalize_cv()
+        projection = (
+            self._stream_projection - self.cv_norm_mean
+        ) / self.cv_norm_range
+        self._stream_projection = None
+        self.save_model()
+        self.sensitivity_analysis()
+        return pd.DataFrame(
+            np.asarray(projection, np.float32), columns=self.cv_labels
+        )

@@ -539,3 +539,100 @@ def test_train_colvars_per_cv_restart(cv_dataset, tmp_path):
     )
     assert os.path.exists(tica_zip)               # retrained
     assert os.path.getmtime(pca_zip) == pca_mtime  # untouched
+
+
+@pytest.fixture(scope="module")
+def htica_two_file_dataset(tmp_path_factory):
+    """Two colvars files (distinct slow signals) for the streaming path."""
+    root = tmp_path_factory.mktemp("htica_stream_data")
+    rng = np.random.default_rng(11)
+    labels = [f"dist-@CA_1-@CA_{i + 2}" for i in range(6)]
+    paths = []
+    for fi in range(2):
+        n = 300 + 60 * fi
+        drift = np.cumsum(rng.standard_normal(n)).astype(np.float32) / 8
+        data = rng.standard_normal((n, 6)).astype(np.float32) * 0.1
+        data[:, 0] += drift
+        data[:, 3] += 0.5 * drift
+        data += 1.0 + fi * 0.2
+        time_col = np.arange(n, dtype=np.float32)
+        p = os.path.join(str(root), f"cv_{fi}.dat")
+        write_colvars(
+            p, np.column_stack([time_col, data]), ["time"] + labels,
+            fmt="%.6f",
+        )
+        paths.append(p)
+    return {"paths": paths, "labels": labels}
+
+
+def test_htica_streaming_matches_in_memory(htica_two_file_dataset, tmp_path):
+    """The shipped HTICACalculator's streaming mode (bounded-memory
+    iter_features_chunks -> StreamingHTICA, for matrices too large for
+    host RAM) reproduces the in-memory calculator on the same two-file
+    dataset: same eigenvalues, same projections, same per-file lag-pair
+    boundaries (no pairs across files)."""
+    from deep_cartograph_tpu.cv import cv_calculators_map
+    from deep_cartograph_tpu.io.colvars import clear_memory_cache
+
+    ds = htica_two_file_dataset
+    cfg = base_config(lag_time=3)
+
+    mem = cv_calculators_map["htica"](
+        configuration=cfg, output_path=os.path.join(str(tmp_path), "mem")
+    )
+    mem.load_training_data(ds["paths"], features_list=ds["labels"])
+    assert not mem._streaming  # matrix is tiny; auto stays in-memory
+    proj_mem = mem.run()
+
+    clear_memory_cache()  # force the streaming reader's file-parse path
+    stream_cfg = dict(cfg, streaming=True)
+    st = cv_calculators_map["htica"](
+        configuration=stream_cfg,
+        output_path=os.path.join(str(tmp_path), "stream"),
+    )
+    st.load_training_data(ds["paths"], features_list=ds["labels"])
+    assert st._streaming
+    assert st.training_data is None  # nothing materialized
+    proj_st = st.run()
+
+    np.testing.assert_allclose(
+        st.eigenvalues_, mem.eigenvalues_, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.abs(proj_st.to_numpy()), np.abs(proj_mem.to_numpy()), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        st.features_norm_mean, mem.features_norm_mean, atol=1e-5
+    )
+
+    # model.zip round trip from the streaming-trained model
+    from deep_cartograph_tpu.cv.base import CVCalculator
+
+    model_zip = os.path.join(str(tmp_path), "stream", "htica", "model.zip")
+    assert os.path.exists(model_zip)
+    loaded = CVCalculator.load(
+        model_zip, os.path.join(str(tmp_path), "reload")
+    )
+    reprojected = loaded.project_colvars(ds["paths"], None)
+    np.testing.assert_allclose(
+        reprojected.to_numpy(), proj_st.to_numpy(), atol=2e-4
+    )
+
+
+def test_htica_streaming_uneven_subspaces(htica_two_file_dataset, tmp_path):
+    """Streaming with num_subspaces not dividing num_features pads the
+    feature axis internally; weights come back at the true width."""
+    from deep_cartograph_tpu.cv import cv_calculators_map
+
+    ds = htica_two_file_dataset
+    cfg = dict(base_config(lag_time=2), streaming=True, num_subspaces=4,
+               subspaces_dimension=1)
+    st = cv_calculators_map["htica"](
+        configuration=cfg, output_path=str(tmp_path)
+    )
+    st.load_training_data(ds["paths"], features_list=ds["labels"])
+    proj = st.run()
+    assert st.cv.shape == (6, 2)
+    assert proj.shape[1] == 2
+    assert np.isfinite(proj.to_numpy()).all()
+    assert st.eigenvalues_[0] <= 1.0 + 1e-5
