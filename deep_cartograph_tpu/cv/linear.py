@@ -36,6 +36,10 @@ class LinearCalculator(CVCalculator):
         self.cv_stats: Dict[str, np.ndarray] = {}
         self.cv_norm_mean: Optional[np.ndarray] = None
         self.cv_norm_range: Optional[np.ndarray] = None
+        # larger-than-RAM training sets (see load_training_data)
+        self._streaming = False
+        self._stream_paths: Optional[List[str]] = None
+        self._stream_projection: Optional[np.ndarray] = None
 
     # -- persistence ----------------------------------------------------
     def _load_from_folder(self, folder_path: str) -> None:
@@ -83,6 +87,14 @@ class LinearCalculator(CVCalculator):
         ref_topology_path=None,
         features_list=None,
     ) -> None:
+        # Larger-than-RAM training sets: every linear calculator can stream
+        # from disk instead of materializing (the reference OOMs here,
+        # colvars.py:322-473). See _should_stream for the trigger.
+        if self._should_stream(train_colvars_paths, train_topology_paths):
+            self._setup_streaming(
+                train_colvars_paths, ref_topology_path, features_list
+            )
+            return
         super().load_training_data(
             train_colvars_paths, train_topology_paths, ref_topology_path,
             features_list,
@@ -97,206 +109,15 @@ class LinearCalculator(CVCalculator):
             / self.features_norm_range.astype(np.float32)
         ).astype(np.float32)
 
-    # -- projection / normalization --------------------------------------
-    def get_cv_parameters(self) -> Dict:
-        return {
-            "cv_name": self.cv_name,
-            "cv_dimension": self.cv_dimension,
-            "features_norm_mode": self.feats_norm_mode,
-            "features_norm_mean": self.features_norm_mean,
-            "features_norm_range": self.features_norm_range,
-            "cv_stats": self.cv_stats,
-            "weights": self.cv,
-        }
-
-    def get_cv_type(self) -> str:
-        return "linear"
-
-    def project_data(
-        self, data: np.ndarray, normalize_data: bool = True
-    ) -> np.ndarray:
-        if self.cv is None:
-            raise ValueError("CV has not been computed. Cannot project data.")
-        arr = np.asarray(data, np.float32)
-        if normalize_data:
-            if self.features_norm_mean is None:
-                raise ValueError("Feature normalization parameters missing.")
-            arr = self._normalize(arr)
-        projected = np.asarray(
-            jnp.asarray(arr) @ jnp.asarray(self.cv, jnp.float32)
-        )
-        if self.cv_norm_mean is None or self.cv_norm_range is None:
-            raise ValueError("CV normalization parameters missing.")
-        return (projected - self.cv_norm_mean) / self.cv_norm_range
-
-    def normalize_cv(self) -> None:
-        """Min-max normalization of projected training data to [-1, 1]
-        (cf. reference cv_calculator.py:974-991)."""
-        if self.training_data is None:
-            raise ValueError("Training data not loaded.")
-        projected = np.asarray(
-            jnp.asarray(self.training_data) @ jnp.asarray(self.cv, jnp.float32)
-        )
-        self._set_cv_stats_from_projection(projected)
-
-    def _set_cv_stats_from_projection(self, projected: np.ndarray) -> None:
-        self.cv_stats = {
-            "min": projected.min(axis=0).astype(np.float64),
-            "max": projected.max(axis=0).astype(np.float64),
-        }
-        self.cv_norm_mean = (self.cv_stats["max"] + self.cv_stats["min"]) / 2
-        self.cv_norm_range = (self.cv_stats["max"] - self.cv_stats["min"]) / 2
-        # Degenerate component (constant projection, e.g. a dimension past
-        # the data rank): a zero range would emit inf/NaN CVs and poison
-        # the persisted norm params + PLUMED COMBINE scale. Same clamp as
-        # NonLinear.normalize_cv.
-        self.cv_norm_range = np.where(
-            np.abs(self.cv_norm_range) < 1e-12, 1.0, self.cv_norm_range
-        )
-
-    def sensitivity_analysis(self) -> None:
-        """|weight| per feature per CV dimension
-        (cf. reference cv_calculator.py:993-1047)."""
-        sens = np.abs(np.asarray(self.cv))
-        for ci in range(sens.shape[1]):
-            folder = os.path.join(
-                str(self.sensitivity_output_folder), f"sensitivity_analysis_{ci + 1}"
-            )
-            order = np.argsort(sens[:, ci])
-            labels = [self.features_ref_labels[i] for i in order]
-            self._save_sensitivity(labels, sens[order, ci], folder)
-
-    def _lagged_blocks(self) -> tuple:
-        """Time-lagged pairs built per trajectory block so pairs never cross
-        trajectory boundaries (improves on the reference, which pairs across
-        concatenated files; cf. cv_calculator.py:2241-2247)."""
-        lag = self.configuration.get("lag_time", 1)
-        labels = self.training_data_labels
-        if labels is None:
-            blocks = [self.training_data]
-        else:
-            blocks = [
-                self.training_data[labels == lab] for lab in np.unique(labels)
-            ]
-        return create_timelagged_dataset_multi(blocks, lag)
-
-
-class PCACalculator(LinearCalculator):
-    """Principal component analysis (cf. reference cv_calculator.py:2174-2215).
-
-    Covariance eigendecomposition in XLA; sign convention: first weight of
-    each component positive, matching the reference.
-    """
-
-    def __init__(self, configuration=None, output_path=None):
-        super().__init__(configuration, output_path)
-        self.cv_name = "pca"
-        logger.info("Creating %s Calculator ...", cv_names_map[self.cv_name])
-
-    def compute_cv(self) -> None:
-        if self.training_data is None:
-            logger.error("No training data available to compute PCA.")
-            return
-        x = jnp.asarray(self.training_data)
-        mu = jnp.mean(x, axis=0)
-        xc = x - mu
-        cov = (xc.T @ xc) / (x.shape[0] - 1)
-        evals, evecs = jnp.linalg.eigh(cov)
-        # ascending -> take top cv_dimension, descending
-        components = np.array(evecs[:, ::-1][:, : self.cv_dimension])
-        for i in range(self.cv_dimension):
-            if components[0, i] < 0:
-                components[:, i] = -components[:, i]
-        self.cv = components
-        self.explained_variance_ = np.asarray(evals[::-1][: self.cv_dimension])
-
-
-class TICACalculator(LinearCalculator):
-    """Time-lagged independent component analysis
-    (cf. reference cv_calculator.py:2217-2267)."""
-
-    def __init__(self, configuration=None, output_path=None):
-        super().__init__(configuration, output_path)
-        self.cv_name = "tica"
-        self.x_t: Optional[np.ndarray] = None
-        self.x_lag: Optional[np.ndarray] = None
-        logger.info("Creating %s Calculator ...", cv_names_map[self.cv_name])
-
-    def load_training_data(self, *args, **kwargs) -> None:
-        super().load_training_data(*args, **kwargs)
-        self.x_t, self.x_lag = self._lagged_blocks()
-
-    def compute_cv(self) -> None:
-        import jax
-
-        reg = self.configuration.get("tica_regularization", 1e-6)
-        try:
-            if len(jax.devices()) > 1 and self.x_t.shape[0] >= 4 * len(
-                jax.devices()
-            ):
-                # Frame-sharded covariance accumulation over the mesh
-                from deep_cartograph_tpu.cv.tica_math import tica_sharded
-
-                self.eigenvalues_, evecs = tica_sharded(
-                    self.x_t, self.x_lag, self.cv_dimension, reg=reg
-                )
-            else:
-                self.eigenvalues_, evecs = tica(
-                    self.x_t, self.x_lag, self.cv_dimension, reg=reg
-                )
-        except Exception as exc:
-            logger.error("TICA could not be computed. Error message: %s", exc)
-            return
-        self.cv = evecs
-
-
-class HTICACalculator(LinearCalculator):
-    """Hierarchical TICA (Perez-Hernandez & Noe 2016): per-subspace TICA ->
-    block-diagonal transform -> second-level TICA on concatenated projections
-    (cf. reference cv_calculator.py:2269-2384). Subspace solves are
-    independent and batch naturally on device; at scale the feature axis
-    shards across the mesh.
-    """
-
-    def __init__(self, configuration=None, output_path=None):
-        super().__init__(configuration, output_path)
-        self.cv_name = "htica"
-        self.num_subspaces = self.configuration.get("num_subspaces")
-        self.subspaces_dimension = self.configuration.get("subspaces_dimension")
-        self.x_t: Optional[np.ndarray] = None
-        self.x_lag: Optional[np.ndarray] = None
-        self._streaming = False
-        self._stream_paths: Optional[List[str]] = None
-        self._stream_projection: Optional[np.ndarray] = None
-        logger.info("Creating %s Calculator ...", cv_names_map[self.cv_name])
-
-    def load_training_data(
-        self,
-        train_colvars_paths,
-        train_topology_paths=None,
-        ref_topology_path=None,
-        features_list=None,
-    ) -> None:
-        if self._should_stream(train_colvars_paths, train_topology_paths):
-            self._setup_streaming(
-                train_colvars_paths, ref_topology_path, features_list
-            )
-            return
-        super().load_training_data(
-            train_colvars_paths, train_topology_paths, ref_topology_path,
-            features_list,
-        )
-        self.x_t, self.x_lag = self._lagged_blocks()
-
     # -- larger-than-RAM training sets: stream from disk -----------------
     # The reference materializes the full feature matrix in host RAM
-    # (cv_calculator.py:2269-2384 via colvars.py:322-473) and OOMs past
-    # it. Here HTICA optionally streams the colvars files in bounded
-    # blocks (io.colvars.iter_features_chunks -> StreamingHTICA two-pass
-    # covariances on device), so the width/length ceiling is disk, not
-    # RAM. Triggered by configuration key `streaming: true`, or
-    # automatically when the estimated fp32 matrix exceeds
-    # DEEP_CARTO_STREAM_BYTES (default 4 GiB; 0 disables auto).
+    # (colvars.py:322-473) and OOMs past it. Every linear calculator can
+    # instead stream the colvars files in bounded blocks
+    # (io.colvars.iter_features_chunks) with the solve done on streaming
+    # covariances, so the frame-count ceiling is disk, not RAM.
+    # Triggered by configuration key `streaming: true`, or automatically
+    # when the estimated fp32 matrix exceeds DEEP_CARTO_STREAM_BYTES
+    # (default 4 GiB; 0 disables auto).
     def _should_stream(self, paths, topology_paths) -> bool:
         from deep_cartograph_tpu.io.colvars import is_plumed_file
 
@@ -374,9 +195,9 @@ class HTICACalculator(LinearCalculator):
         )
         self.num_features = len(self.features_ref_labels)
         logger.info(
-            "HTICA streaming mode: %d features over %d file(s) "
-            "(bounded-memory two-pass fit).",
-            self.num_features, len(self._stream_paths),
+            "%s streaming mode: %d features over %d file(s) "
+            "(bounded-memory fit).",
+            self.cv_name, self.num_features, len(self._stream_paths),
         )
         # one streaming pass for the normalization statistics
         cnt = 0
@@ -445,6 +266,275 @@ class HTICACalculator(LinearCalculator):
             if pad_to > nb.shape[1]:
                 nb = np.pad(nb, ((0, 0), (0, pad_to - nb.shape[1])))
             yield nb
+
+    # -- projection / normalization --------------------------------------
+    def get_cv_parameters(self) -> Dict:
+        return {
+            "cv_name": self.cv_name,
+            "cv_dimension": self.cv_dimension,
+            "features_norm_mode": self.feats_norm_mode,
+            "features_norm_mean": self.features_norm_mean,
+            "features_norm_range": self.features_norm_range,
+            "cv_stats": self.cv_stats,
+            "weights": self.cv,
+        }
+
+    def get_cv_type(self) -> str:
+        return "linear"
+
+    def project_data(
+        self, data: np.ndarray, normalize_data: bool = True
+    ) -> np.ndarray:
+        if self.cv is None:
+            raise ValueError("CV has not been computed. Cannot project data.")
+        arr = np.asarray(data, np.float32)
+        if normalize_data:
+            if self.features_norm_mean is None:
+                raise ValueError("Feature normalization parameters missing.")
+            arr = self._normalize(arr)
+        projected = np.asarray(
+            jnp.asarray(arr) @ jnp.asarray(self.cv, jnp.float32)
+        )
+        if self.cv_norm_mean is None or self.cv_norm_range is None:
+            raise ValueError("CV normalization parameters missing.")
+        return (projected - self.cv_norm_mean) / self.cv_norm_range
+
+    def normalize_cv(self) -> None:
+        """Min-max normalization of projected training data to [-1, 1]
+        (cf. reference cv_calculator.py:974-991)."""
+        if self._streaming:
+            # streaming pass: project every block, track min/max; keep the
+            # (frames, cv_dim) projection — it is tiny — for run()'s output.
+            projs = [
+                np.asarray(blk @ self.cv.astype(np.float32))
+                for blk in self._normalized_stream()
+            ]
+            projected = np.concatenate(projs, axis=0)
+            self._set_cv_stats_from_projection(projected)
+            self._stream_projection = projected
+            return
+        if self.training_data is None:
+            raise ValueError("Training data not loaded.")
+        projected = np.asarray(
+            jnp.asarray(self.training_data) @ jnp.asarray(self.cv, jnp.float32)
+        )
+        self._set_cv_stats_from_projection(projected)
+
+    def _set_cv_stats_from_projection(self, projected: np.ndarray) -> None:
+        self.cv_stats = {
+            "min": projected.min(axis=0).astype(np.float64),
+            "max": projected.max(axis=0).astype(np.float64),
+        }
+        self.cv_norm_mean = (self.cv_stats["max"] + self.cv_stats["min"]) / 2
+        self.cv_norm_range = (self.cv_stats["max"] - self.cv_stats["min"]) / 2
+        # Degenerate component (constant projection, e.g. a dimension past
+        # the data rank): a zero range would emit inf/NaN CVs and poison
+        # the persisted norm params + PLUMED COMBINE scale. Same clamp as
+        # NonLinear.normalize_cv.
+        self.cv_norm_range = np.where(
+            np.abs(self.cv_norm_range) < 1e-12, 1.0, self.cv_norm_range
+        )
+
+    def run(self, cv_dimension=None):
+        if not self._streaming:
+            return super().run(cv_dimension)
+        # Streaming variant of the base run() template: identical steps,
+        # but the training data never materializes — the projection
+        # dataframe comes from normalize_cv's streaming pass, and nothing
+        # is routed to the host CPU (streaming implies production scale).
+        import pandas as pd
+
+        self.create_output_folders()
+        if cv_dimension:
+            self.cv_dimension = cv_dimension
+        self.compute_cv()
+        self.set_labels()
+        if self.cv is None:
+            return None
+        self.normalize_cv()
+        projection = (
+            self._stream_projection - self.cv_norm_mean
+        ) / self.cv_norm_range
+        self._stream_projection = None
+        self.save_model()
+        self.sensitivity_analysis()
+        return pd.DataFrame(
+            np.asarray(projection, np.float32), columns=self.cv_labels
+        )
+
+    def sensitivity_analysis(self) -> None:
+        """|weight| per feature per CV dimension
+        (cf. reference cv_calculator.py:993-1047)."""
+        sens = np.abs(np.asarray(self.cv))
+        for ci in range(sens.shape[1]):
+            folder = os.path.join(
+                str(self.sensitivity_output_folder), f"sensitivity_analysis_{ci + 1}"
+            )
+            order = np.argsort(sens[:, ci])
+            labels = [self.features_ref_labels[i] for i in order]
+            self._save_sensitivity(labels, sens[order, ci], folder)
+
+    def _lagged_blocks(self) -> tuple:
+        """Time-lagged pairs built per trajectory block so pairs never cross
+        trajectory boundaries (improves on the reference, which pairs across
+        concatenated files; cf. cv_calculator.py:2241-2247)."""
+        lag = self.configuration.get("lag_time", 1)
+        labels = self.training_data_labels
+        if labels is None:
+            blocks = [self.training_data]
+        else:
+            blocks = [
+                self.training_data[labels == lab] for lab in np.unique(labels)
+            ]
+        return create_timelagged_dataset_multi(blocks, lag)
+
+
+class PCACalculator(LinearCalculator):
+    """Principal component analysis (cf. reference cv_calculator.py:2174-2215).
+
+    Covariance eigendecomposition in XLA; sign convention: first weight of
+    each component positive, matching the reference.
+    """
+
+    def __init__(self, configuration=None, output_path=None):
+        super().__init__(configuration, output_path)
+        self.cv_name = "pca"
+        logger.info("Creating %s Calculator ...", cv_names_map[self.cv_name])
+
+    def compute_cv(self) -> None:
+        if self._streaming:
+            self._compute_cv_streaming()
+            return
+        if self.training_data is None:
+            logger.error("No training data available to compute PCA.")
+            return
+        x = jnp.asarray(self.training_data)
+        mu = jnp.mean(x, axis=0)
+        xc = x - mu
+        cov = (xc.T @ xc) / (x.shape[0] - 1)
+        self._finish_pca(cov, x.shape[0])
+
+    def _compute_cv_streaming(self) -> None:
+        """Streaming covariance: per-block X^T X on device, f64 host
+        accumulation (immune to mean-dominated f32 cancellation), then the
+        same eigendecomposition as the in-memory path."""
+        n = 0
+        s1 = np.zeros(self.num_features, np.float64)
+        s2 = np.zeros((self.num_features, self.num_features), np.float64)
+        for blk in self._normalized_stream():
+            x = jnp.asarray(blk)
+            n += blk.shape[0]
+            s1 += np.asarray(jnp.sum(x, axis=0), np.float64)
+            s2 += np.asarray(x.T @ x, np.float64)
+        if n < 2:
+            logger.error("No training data available to compute PCA.")
+            return
+        mu = s1 / n
+        cov = (s2 - n * np.outer(mu, mu)) / (n - 1)
+        self._finish_pca(jnp.asarray(cov, jnp.float32), n)
+
+    def _finish_pca(self, cov, n_rows: int) -> None:
+        evals, evecs = jnp.linalg.eigh(cov)
+        # ascending -> take top cv_dimension, descending
+        components = np.array(evecs[:, ::-1][:, : self.cv_dimension])
+        for i in range(self.cv_dimension):
+            if components[0, i] < 0:
+                components[:, i] = -components[:, i]
+        self.cv = components
+        self.explained_variance_ = np.asarray(evals[::-1][: self.cv_dimension])
+
+
+class TICACalculator(LinearCalculator):
+    """Time-lagged independent component analysis
+    (cf. reference cv_calculator.py:2217-2267)."""
+
+    def __init__(self, configuration=None, output_path=None):
+        super().__init__(configuration, output_path)
+        self.cv_name = "tica"
+        self.x_t: Optional[np.ndarray] = None
+        self.x_lag: Optional[np.ndarray] = None
+        logger.info("Creating %s Calculator ...", cv_names_map[self.cv_name])
+
+    def load_training_data(self, *args, **kwargs) -> None:
+        super().load_training_data(*args, **kwargs)
+        if not self._streaming:
+            self.x_t, self.x_lag = self._lagged_blocks()
+
+    def _compute_cv_streaming(self) -> None:
+        """Streaming TICA = StreamingHTICA with ONE subspace spanning all
+        features: level 1 solves the full-space time-lagged problem on
+        streamed covariances (same estimator as tica_math.tica), and the
+        level-2 re-solve in the projected space is an identity rotation of
+        the already-independent components — eigenvalues and the spanned
+        subspace are exactly TICA's."""
+        from deep_cartograph_tpu.cv.htica_stream import StreamingHTICA
+
+        lag = self.configuration.get("lag_time", 1)
+        reg = self.configuration.get("tica_regularization", 1e-6)
+        sh = StreamingHTICA(
+            n_features=self.num_features,
+            num_subspaces=1,
+            subspaces_dimension=self.cv_dimension,
+            cv_dimension=self.cv_dimension,
+            lag_time=lag,
+            reg=reg,
+        )
+        try:
+            sh.fit(lambda: self._normalized_stream(with_breaks=True))
+        except Exception as exc:
+            logger.error("TICA could not be computed. Error message: %s", exc)
+            return
+        self.eigenvalues_ = sh.eigenvalues_
+        self.cv = np.asarray(sh.weights, np.float32)
+
+    def compute_cv(self) -> None:
+        import jax
+
+        if self._streaming:
+            self._compute_cv_streaming()
+            return
+        reg = self.configuration.get("tica_regularization", 1e-6)
+        try:
+            if len(jax.devices()) > 1 and self.x_t.shape[0] >= 4 * len(
+                jax.devices()
+            ):
+                # Frame-sharded covariance accumulation over the mesh
+                from deep_cartograph_tpu.cv.tica_math import tica_sharded
+
+                self.eigenvalues_, evecs = tica_sharded(
+                    self.x_t, self.x_lag, self.cv_dimension, reg=reg
+                )
+            else:
+                self.eigenvalues_, evecs = tica(
+                    self.x_t, self.x_lag, self.cv_dimension, reg=reg
+                )
+        except Exception as exc:
+            logger.error("TICA could not be computed. Error message: %s", exc)
+            return
+        self.cv = evecs
+
+
+class HTICACalculator(LinearCalculator):
+    """Hierarchical TICA (Perez-Hernandez & Noe 2016): per-subspace TICA ->
+    block-diagonal transform -> second-level TICA on concatenated projections
+    (cf. reference cv_calculator.py:2269-2384). Subspace solves are
+    independent and batch naturally on device; at scale the feature axis
+    shards across the mesh.
+    """
+
+    def __init__(self, configuration=None, output_path=None):
+        super().__init__(configuration, output_path)
+        self.cv_name = "htica"
+        self.num_subspaces = self.configuration.get("num_subspaces")
+        self.subspaces_dimension = self.configuration.get("subspaces_dimension")
+        self.x_t: Optional[np.ndarray] = None
+        self.x_lag: Optional[np.ndarray] = None
+        logger.info("Creating %s Calculator ...", cv_names_map[self.cv_name])
+
+    def load_training_data(self, *args, **kwargs) -> None:
+        super().load_training_data(*args, **kwargs)
+        if not self._streaming:
+            self.x_t, self.x_lag = self._lagged_blocks()
 
     def _compute_cv_streaming(self) -> None:
         from deep_cartograph_tpu.cv.htica_stream import StreamingHTICA
@@ -524,43 +614,3 @@ class HTICACalculator(LinearCalculator):
             return
         self.cv = transform @ level2
 
-    def normalize_cv(self) -> None:
-        if not self._streaming:
-            super().normalize_cv()
-            return
-        # streaming pass: project every block, track min/max; keep the
-        # (frames, cv_dim) projection — it is tiny — for run()'s output.
-        projs = [
-            np.asarray(blk @ self.cv.astype(np.float32))
-            for blk in self._normalized_stream()
-        ]
-        projected = np.concatenate(projs, axis=0)
-        self._set_cv_stats_from_projection(projected)
-        self._stream_projection = projected
-
-    def run(self, cv_dimension=None):
-        if not self._streaming:
-            return super().run(cv_dimension)
-        # Streaming variant of the base run() template: identical steps,
-        # but the training data never materializes — the projection
-        # dataframe comes from normalize_cv's streaming pass, and nothing
-        # is routed to the host CPU (streaming implies production scale).
-        import pandas as pd
-
-        self.create_output_folders()
-        if cv_dimension:
-            self.cv_dimension = cv_dimension
-        self.compute_cv()
-        self.set_labels()
-        if self.cv is None:
-            return None
-        self.normalize_cv()
-        projection = (
-            self._stream_projection - self.cv_norm_mean
-        ) / self.cv_norm_range
-        self._stream_projection = None
-        self.save_model()
-        self.sensitivity_analysis()
-        return pd.DataFrame(
-            np.asarray(projection, np.float32), columns=self.cv_labels
-        )

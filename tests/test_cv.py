@@ -636,3 +636,45 @@ def test_htica_streaming_uneven_subspaces(htica_two_file_dataset, tmp_path):
     assert proj.shape[1] == 2
     assert np.isfinite(proj.to_numpy()).all()
     assert st.eigenvalues_[0] <= 1.0 + 1e-5
+
+
+@pytest.mark.parametrize("cv_name", ["pca", "tica"])
+def test_linear_streaming_matches_in_memory(
+    htica_two_file_dataset, tmp_path, cv_name
+):
+    """PCA and TICA also stream larger-than-RAM training sets through the
+    shipped calculators (streaming covariances; TICA = one-subspace
+    StreamingHTICA), matching the in-memory result."""
+    from deep_cartograph_tpu.cv import cv_calculators_map
+    from deep_cartograph_tpu.io.colvars import clear_memory_cache
+
+    ds = htica_two_file_dataset
+    cfg = base_config(lag_time=2)
+
+    mem = cv_calculators_map[cv_name](
+        configuration=cfg, output_path=os.path.join(str(tmp_path), "mem")
+    )
+    mem.load_training_data(ds["paths"], features_list=ds["labels"])
+    assert not mem._streaming
+    proj_mem = mem.run()
+
+    clear_memory_cache()
+    st = cv_calculators_map[cv_name](
+        configuration=dict(cfg, streaming=True),
+        output_path=os.path.join(str(tmp_path), "stream"),
+    )
+    st.load_training_data(ds["paths"], features_list=ds["labels"])
+    assert st._streaming and st.training_data is None
+    proj_st = st.run()
+
+    np.testing.assert_allclose(
+        np.abs(proj_st.to_numpy()), np.abs(proj_mem.to_numpy()), atol=2e-3
+    )
+    if cv_name == "tica":
+        np.testing.assert_allclose(
+            st.eigenvalues_, mem.eigenvalues_, atol=1e-4
+        )
+    else:
+        np.testing.assert_allclose(
+            st.explained_variance_, mem.explained_variance_, rtol=1e-3
+        )
