@@ -90,7 +90,9 @@ class LinearCalculator(CVCalculator):
         # Larger-than-RAM training sets: every linear calculator can stream
         # from disk instead of materializing (the reference OOMs here,
         # colvars.py:322-473). See _should_stream for the trigger.
-        if self._should_stream(train_colvars_paths, train_topology_paths):
+        if self._should_stream(
+            train_colvars_paths, train_topology_paths, features_list
+        ):
             self._setup_streaming(
                 train_colvars_paths, ref_topology_path, features_list
             )
@@ -118,7 +120,7 @@ class LinearCalculator(CVCalculator):
     # Triggered by configuration key `streaming: true`, or automatically
     # when the estimated fp32 matrix exceeds DEEP_CARTO_STREAM_BYTES
     # (default 4 GiB; 0 disables auto).
-    def _should_stream(self, paths, topology_paths) -> bool:
+    def _should_stream(self, paths, topology_paths, features_list=None) -> bool:
         from deep_cartograph_tpu.io.colvars import is_plumed_file
 
         mode = self.configuration.get("streaming", "auto")
@@ -144,9 +146,9 @@ class LinearCalculator(CVCalculator):
         )
         if threshold <= 0:
             return False
-        return self._estimate_matrix_bytes(paths) > threshold
+        return self._estimate_matrix_bytes(paths, features_list) > threshold
 
-    def _estimate_matrix_bytes(self, paths) -> int:
+    def _estimate_matrix_bytes(self, paths, features_list=None) -> int:
         """Cheap fp32-matrix size estimate from file sizes + a head sample
         (rows ~ bytes / avg data-line length), honoring the reading
         window. Only used to pick a loading strategy."""
@@ -157,7 +159,7 @@ class LinearCalculator(CVCalculator):
         stop = read.get("stop", None)
         stride = max(read.get("stride", 1), 1)
         n_feat = len(
-            self.configuration.get("features_list")
+            features_list
             or read_column_names(paths[0], features_only=True)
         )
         total_rows = 0
@@ -412,7 +414,7 @@ class PCACalculator(LinearCalculator):
         mu = jnp.mean(x, axis=0)
         xc = x - mu
         cov = (xc.T @ xc) / (x.shape[0] - 1)
-        self._finish_pca(cov, x.shape[0])
+        self._finish_pca(cov)
 
     def _compute_cv_streaming(self) -> None:
         """Streaming covariance: per-block X^T X on device, f64 host
@@ -431,9 +433,9 @@ class PCACalculator(LinearCalculator):
             return
         mu = s1 / n
         cov = (s2 - n * np.outer(mu, mu)) / (n - 1)
-        self._finish_pca(jnp.asarray(cov, jnp.float32), n)
+        self._finish_pca(jnp.asarray(cov, jnp.float32))
 
-    def _finish_pca(self, cov, n_rows: int) -> None:
+    def _finish_pca(self, cov) -> None:
         evals, evecs = jnp.linalg.eigh(cov)
         # ascending -> take top cv_dimension, descending
         components = np.array(evecs[:, ::-1][:, : self.cv_dimension])
