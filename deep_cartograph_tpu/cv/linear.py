@@ -552,6 +552,22 @@ class HTICACalculator(LinearCalculator):
         # where the in-memory path cannot run at all.
         sub_d = -(-self.num_features // n_sub)
         padded = sub_d * n_sub
+        # Multi-chip: shard the SUBSPACE (feature) axis over the mesh when
+        # it divides evenly — each device accumulates its own subspaces'
+        # moments with zero communication; only the tiny level-2 projected
+        # covariance crosses devices (StreamingHTICA's mesh contract).
+        import jax
+
+        mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and n_sub % n_dev == 0:
+            from deep_cartograph_tpu.parallel.mesh import get_mesh
+
+            mesh = get_mesh()
+            logger.info(
+                "Streaming HTICA sharded over %d devices "
+                "(%d subspaces / device).", n_dev, n_sub // n_dev,
+            )
         sh = StreamingHTICA(
             n_features=padded,
             num_subspaces=n_sub,
@@ -559,6 +575,7 @@ class HTICACalculator(LinearCalculator):
             cv_dimension=self.cv_dimension,
             lag_time=lag,
             reg=reg,
+            mesh=mesh,
         )
         try:
             sh.fit(
