@@ -283,6 +283,10 @@ class CommonCollectiveVariable(BaseModel):
     min_dist: float = 0.1
     metric: str = "euclidean"
     bias: Bias = Bias()
+    # Larger-than-RAM training sets: "auto" streams when the estimated
+    # matrix exceeds DEEP_CARTO_STREAM_BYTES; true/"on" forces streaming,
+    # false/"off" disables (linear CVs only; see cv/linear.py).
+    streaming: Union[bool, Literal["auto", "on", "off"]] = "auto"
 
 
 class FesFigure(BaseModel):

@@ -196,29 +196,46 @@ class LinearCalculator(CVCalculator):
             or read_column_names(self._stream_paths[0], features_only=True)
         )
         self.num_features = len(self.features_ref_labels)
+        if self.num_features == 0:
+            raise ValueError(
+                f"No feature columns found in {self._stream_paths[0]}."
+            )
         logger.info(
             "%s streaming mode: %d features over %d file(s) "
             "(bounded-memory fit).",
             self.cv_name, self.num_features, len(self._stream_paths),
         )
-        # one streaming pass for the normalization statistics
+        # One streaming pass: normalization statistics, per-file row counts
+        # (training_data_labels, so the tool's per-trajectory outputs work
+        # exactly as in-memory), and the NaN screen the in-memory loader
+        # performs (create_dataframe_from_files' "Clean your data!").
         cnt = 0
         s1 = np.zeros(self.num_features, np.float64)
         s2 = np.zeros(self.num_features, np.float64)
         mn = np.full(self.num_features, np.inf, np.float64)
         mx = np.full(self.num_features, -np.inf, np.float64)
-        for blk in self._stream_blocks():
-            b64 = blk.astype(np.float64)
-            cnt += b64.shape[0]
-            s1 += b64.sum(axis=0)
-            s2 += (b64 * b64).sum(axis=0)
-            np.minimum(mn, b64.min(axis=0), out=mn)
-            np.maximum(mx, b64.max(axis=0), out=mx)
+        file_rows: List[int] = []
+        for path in self._stream_paths:
+            rows_here = 0
+            for blk in self._file_chunks(path):
+                if np.isnan(blk).any():
+                    raise ValueError(f"Clean your data! NaNs found in {path}")
+                b64 = blk.astype(np.float64)
+                rows_here += b64.shape[0]
+                s1 += b64.sum(axis=0)
+                s2 += (b64 * b64).sum(axis=0)
+                np.minimum(mn, b64.min(axis=0), out=mn)
+                np.maximum(mx, b64.max(axis=0), out=mx)
+            file_rows.append(rows_here)
+        cnt = sum(file_rows)
         if cnt == 0:
             raise ValueError(
                 f"No rows read from colvars files {self._stream_paths} "
                 "with the configured reading window."
             )
+        self.training_data_labels = np.repeat(
+            np.arange(len(file_rows)), file_rows
+        )
         mean = s1 / cnt
         var = np.maximum(s2 / cnt - mean * mean, 0.0)
         self.features_stats = {
@@ -231,11 +248,10 @@ class LinearCalculator(CVCalculator):
             self.prepare_normalization()
         )
 
-    def _stream_blocks(self, with_breaks: bool = False):
-        """Bounded-memory block stream over the training colvars files in
-        order, honoring the configured reading window per file (the same
-        per-file semantics as load_dataframe). With ``with_breaks``, a
-        None sentinel separates files so lag pairs never cross them."""
+    def _file_chunks(self, path: str):
+        """Bounded-memory chunk stream over ONE colvars file, honoring the
+        configured reading window (same per-file semantics as
+        load_dataframe)."""
         from deep_cartograph_tpu.io.colvars import iter_features_chunks
 
         read = self.training_reading_settings
@@ -243,19 +259,25 @@ class LinearCalculator(CVCalculator):
         if chunk_rows <= 0:
             # target ~256 MB fp32 per block
             chunk_rows = max((256 * 2**20) // (4 * self.num_features), 1024)
+        yield from iter_features_chunks(
+            path,
+            chunk_rows,
+            feature_names=self.features_ref_labels,
+            start=read.get("start", 0),
+            stop=read.get("stop", None),
+            stride=max(read.get("stride", 1), 1),
+        )
+
+    def _stream_blocks(self, with_breaks: bool = False):
+        """Block stream over all training files in order. With
+        ``with_breaks``, a None sentinel separates files so lag pairs
+        never cross them."""
         first = True
         for path in self._stream_paths:
             if not first and with_breaks:
                 yield None
             first = False
-            yield from iter_features_chunks(
-                path,
-                chunk_rows,
-                feature_names=self.features_ref_labels,
-                start=read.get("start", 0),
-                stop=read.get("stop", None),
-                stride=max(read.get("stride", 1), 1),
-            )
+            yield from self._file_chunks(path)
 
     def _normalized_stream(self, with_breaks: bool = False, pad_to: int = 0):
         mean = self.features_norm_mean.astype(np.float32)
@@ -421,22 +443,45 @@ class PCACalculator(LinearCalculator):
         accumulation (immune to mean-dominated f32 cancellation), then the
         same eigendecomposition as the in-memory path."""
         n = 0
+        shift = None  # first-block mean: keeps the f32 device product
+        # O(variance) even for mean-dominated raw features
+        # (features_normalization: None) — same trick as StreamingHTICA.
         s1 = np.zeros(self.num_features, np.float64)
         s2 = np.zeros((self.num_features, self.num_features), np.float64)
         for blk in self._normalized_stream():
             x = jnp.asarray(blk)
+            if shift is None:
+                shift = jnp.mean(x, axis=0)
+            xs = x - shift
             n += blk.shape[0]
-            s1 += np.asarray(jnp.sum(x, axis=0), np.float64)
-            s2 += np.asarray(x.T @ x, np.float64)
+            s1 += np.asarray(jnp.sum(xs, axis=0), np.float64)
+            s2 += np.asarray(xs.T @ xs, np.float64)
         if n < 2:
             logger.error("No training data available to compute PCA.")
             return
-        mu = s1 / n
+        mu = s1 / n  # residual mean after the shift
         cov = (s2 - n * np.outer(mu, mu)) / (n - 1)
         self._finish_pca(jnp.asarray(cov, jnp.float32))
 
     def _finish_pca(self, cov) -> None:
-        evals, evecs = jnp.linalg.eigh(cov)
+        import contextlib
+
+        import jax
+
+        from deep_cartograph_tpu.cv.htica_stream import _eigh_device
+
+        # Large dense eigh routes to the host CPU (a D>256 eigh is
+        # milliseconds anywhere but its accelerator program is enormous to
+        # compile through a remote service — see htica_stream._eigh_device).
+        dev = _eigh_device(int(cov.shape[-1]))
+        ctx = (
+            jax.default_device(dev) if dev is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            if dev is not None:
+                cov = jnp.asarray(np.asarray(cov))
+            evals, evecs = jnp.linalg.eigh(cov)
         # ascending -> take top cv_dimension, descending
         components = np.array(evecs[:, ::-1][:, : self.cv_dimension])
         for i in range(self.cv_dimension):
@@ -544,6 +589,14 @@ class HTICACalculator(LinearCalculator):
         lag = self.configuration.get("lag_time", 1)
         reg = self.configuration.get("tica_regularization", 1e-6)
         n_sub = self.num_subspaces
+        if not isinstance(n_sub, int) or n_sub < 1:
+            # same graceful failure as the in-memory branch (where
+            # split_subspaces raises and is caught/logged)
+            logger.error(
+                "num_subspaces must be a positive integer for HTICA; "
+                "got %r.", n_sub,
+            )
+            return
         # StreamingHTICA wants equal contiguous subspaces; pad the feature
         # axis with zeros up to a multiple (zero-variance pad dims carry ~0
         # eigenvalue under regularization and their weight rows are

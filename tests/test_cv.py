@@ -727,3 +727,148 @@ def test_htica_streaming_sharded_over_mesh(tmp_path, rng):
     np.testing.assert_allclose(
         np.abs(proj_sh.to_numpy()), np.abs(proj_mem.to_numpy()), atol=2e-3
     )
+
+
+def test_streaming_labels_nan_and_guards(htica_two_file_dataset, tmp_path, rng):
+    """Streaming-mode invariants fixed by review: per-file
+    training_data_labels (the tool's per-trajectory outputs depend on
+    them), the in-memory loader's NaN screen, the schema carries the
+    documented `streaming` key, and misconfigurations fail gracefully."""
+    from deep_cartograph_tpu.config.schemas import CommonCollectiveVariable
+    from deep_cartograph_tpu.cv import cv_calculators_map
+    from deep_cartograph_tpu.io.colvars import write_colvars as _wc
+
+    ds = htica_two_file_dataset
+    cfg = dict(base_config(lag_time=2), streaming=True)
+
+    # per-file labels: 300 rows of file 0, 360 of file 1
+    st = cv_calculators_map["htica"](
+        configuration=cfg, output_path=os.path.join(str(tmp_path), "lab")
+    )
+    st.load_training_data(ds["paths"], features_list=ds["labels"])
+    labels = st.training_data_labels
+    assert labels is not None and labels.shape == (660,)
+    assert (labels[:300] == 0).all() and (labels[300:] == 1).all()
+
+    # the documented config key survives pydantic validation
+    assert CommonCollectiveVariable(streaming=True).model_dump()[
+        "streaming"
+    ] is True
+    assert CommonCollectiveVariable().model_dump()["streaming"] == "auto"
+
+    # NaN screen matches the in-memory loader's hard failure
+    bad = rng.standard_normal((50, 2)).astype(np.float32)
+    bad[17, 1] = np.nan
+    bad_path = os.path.join(str(tmp_path), "bad.dat")
+    _wc(bad_path, bad, ["time", "dist-@CA_1-@CA_2"], fmt="%.6f")
+    nan_calc = cv_calculators_map["tica"](
+        configuration=cfg, output_path=os.path.join(str(tmp_path), "nan")
+    )
+    with pytest.raises(ValueError, match="Clean your data"):
+        nan_calc.load_training_data([bad_path])
+
+    # zero feature columns: clean error, not ZeroDivisionError
+    empty_path = os.path.join(str(tmp_path), "timeonly.dat")
+    _wc(empty_path, np.arange(10, dtype=np.float32)[:, None], ["time"])
+    empty_calc = cv_calculators_map["pca"](
+        configuration=cfg, output_path=os.path.join(str(tmp_path), "empty")
+    )
+    with pytest.raises(ValueError, match="No feature columns"):
+        empty_calc.load_training_data([empty_path])
+
+    # num_subspaces missing/invalid: graceful (logged) failure, no raise
+    ns_calc = cv_calculators_map["htica"](
+        configuration=dict(cfg, num_subspaces=None),
+        output_path=os.path.join(str(tmp_path), "ns"),
+    )
+    ns_calc.load_training_data(ds["paths"], features_list=ds["labels"])
+    assert ns_calc.run() is None
+
+
+def test_pca_streaming_raw_features_no_normalization(tmp_path, rng):
+    """Streaming PCA with features_normalization: None (the schema
+    default) on mean-dominated raw features matches the in-memory result
+    — the first-block shift keeps the f32 device product O(variance)."""
+    from deep_cartograph_tpu.cv import cv_calculators_map
+    from deep_cartograph_tpu.io.colvars import (
+        clear_memory_cache,
+        write_colvars as _wc,
+    )
+
+    n, f = 600, 5
+    labels = [f"dist-@CA_1-@CA_{i + 2}" for i in range(f)]
+    data = (rng.standard_normal((n, f)) * 0.05).astype(np.float32)
+    data += np.asarray([50.0, 30.0, 80.0, 20.0, 60.0], np.float32)
+    path = os.path.join(str(tmp_path), "raw.dat")
+    _wc(path, np.column_stack([np.arange(n, dtype=np.float32), data]),
+        ["time"] + labels, fmt="%.6f")
+
+    cfg = dict(base_config(), features_normalization=None)
+    mem = cv_calculators_map["pca"](
+        configuration=cfg, output_path=os.path.join(str(tmp_path), "mem")
+    )
+    mem.load_training_data([path], features_list=labels)
+    proj_mem = mem.run()
+
+    clear_memory_cache()
+    st = cv_calculators_map["pca"](
+        configuration=dict(cfg, streaming=True),
+        output_path=os.path.join(str(tmp_path), "st"),
+    )
+    st.load_training_data([path], features_list=labels)
+    proj_st = st.run()
+
+    np.testing.assert_allclose(
+        st.explained_variance_, mem.explained_variance_, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.abs(proj_st.to_numpy()), np.abs(proj_mem.to_numpy()), atol=5e-3
+    )
+
+
+def test_train_colvars_tool_streaming_end_to_end(
+    htica_two_file_dataset, tmp_path
+):
+    """The SHIPPED train_colvars tool path with streaming on (config key
+    through the pydantic schema): model.zip lands, and the per-trajectory
+    projected CSVs are non-empty for BOTH files (requires streaming-mode
+    training_data_labels)."""
+    import pandas as pd
+
+    from deep_cartograph_tpu.tools.train_colvars import train_colvars
+    from deep_cartograph_tpu.config.schemas import TrainColvarsSchema
+
+    ds = htica_two_file_dataset
+    cfg = TrainColvarsSchema(
+        cvs=["htica"],
+        common={
+            "dimension": 2,
+            "lag_time": 2,
+            "features_normalization": "mean_std",
+            "num_subspaces": 2,
+            "subspaces_dimension": 2,
+            "streaming": True,
+        },
+    ).model_dump()
+    assert cfg["common"]["streaming"] is True  # survives validation
+
+    out = str(tmp_path / "tc_stream")
+    train_colvars(
+        configuration=cfg,
+        train_colvars_paths=ds["paths"],
+        trajectory_names=["trajA", "trajB"],
+        features_list=ds["labels"],
+        output_folder=out,
+    )
+    assert os.path.exists(os.path.join(out, "htica", "model.zip"))
+    for name, rows in (("trajA", 300), ("trajB", 360)):
+        csvs = []
+        for root, _, files in os.walk(os.path.join(out, "htica")):
+            csvs += [
+                os.path.join(root, f) for f in files
+                if f.endswith(".csv") and name in root
+            ]
+        proj = [p for p in csvs if "project" in os.path.basename(p).lower()]
+        assert proj, f"no projected csv for {name}: {csvs}"
+        df = pd.read_csv(proj[0])
+        assert len(df) == rows, (proj[0], len(df))
