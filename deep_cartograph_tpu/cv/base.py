@@ -231,6 +231,42 @@ class CVCalculator(ABC):
         ).to_numpy()
         self.validation_data = validation_df.to_numpy(dtype=np.float32)
 
+    def _estimate_matrix_bytes(
+        self, paths, features_list=None, use_reading_window: bool = True
+    ) -> int:
+        """Cheap fp32-matrix size estimate from file sizes + a head sample
+        (rows ~ bytes / avg data-line length), honoring the configured
+        reading window for training reads. Only used to pick a loading
+        strategy."""
+        from deep_cartograph_tpu.io.colvars import read_column_names
+
+        read = self.training_reading_settings if use_reading_window else {}
+        start = read.get("start", 0)
+        stop = read.get("stop", None)
+        stride = max(read.get("stride", 1), 1)
+        n_feat = len(
+            features_list
+            or read_column_names(paths[0], features_only=True)
+        )
+        total_rows = 0
+        for p in paths:
+            size = os.path.getsize(p)
+            with open(p, "rb") as fh:
+                head = fh.read(65536)
+            lines = [
+                ln for ln in head.split(b"\n")
+                if ln and not ln.startswith(b"#")
+            ]
+            bpr = (
+                sum(len(ln) + 1 for ln in lines) / len(lines)
+                if lines else max(n_feat, 1) * 12
+            )
+            rows = int(size / max(bpr, 1))
+            rows = len(range(start, rows if stop is None else min(stop, rows),
+                             stride)) if rows > start else 0
+            total_rows += rows
+        return total_rows * n_feat * 4
+
     # ------------------------------------------------------------------
     # Normalization contract (cf. reference cv_calculator.py:308-363)
     # ------------------------------------------------------------------
@@ -366,6 +402,16 @@ class CVCalculator(ABC):
                 "No reference topology: projecting by feature name "
                 "(no cross-topology translation)."
             )
+        # Larger-than-disk-RAM projection inputs (long production
+        # trajectories): project block-by-block instead of materializing
+        # the (frames, features) matrix — valid for every model type here
+        # (linear matmul, per-batch nets, and UMAP's per-query transform
+        # are all row-independent). Same trigger knob as training
+        # streaming; no reading window applies to projection.
+        if not topology_paths and self._should_stream_projection(
+            colvars_paths
+        ):
+            return self._project_colvars_streaming(colvars_paths)
         colvars_df = create_dataframe_from_files(
             colvars_paths=colvars_paths,
             topology_paths=topology_paths,
@@ -391,6 +437,60 @@ class CVCalculator(ABC):
         ):
             projected = self.project_data(data)
         return pd.DataFrame(np.asarray(projected), columns=self.cv_labels)
+
+    def _should_stream_projection(self, colvars_paths) -> bool:
+        from deep_cartograph_tpu.io.colvars import is_plumed_file
+
+        if isinstance(colvars_paths, str):
+            colvars_paths = [colvars_paths]
+        if not all(is_plumed_file(p) for p in colvars_paths):
+            return False
+        threshold = int(os.environ.get("DEEP_CARTO_STREAM_BYTES", 4 * 2**30))
+        if threshold <= 0:
+            return False
+        return self._estimate_matrix_bytes(
+            colvars_paths, self.features_ref_labels, use_reading_window=False
+        ) > threshold
+
+    def _project_colvars_streaming(
+        self, colvars_paths
+    ) -> Optional[pd.DataFrame]:
+        from deep_cartograph_tpu.io.colvars import iter_features_chunks
+
+        if isinstance(colvars_paths, str):
+            colvars_paths = [colvars_paths]
+        chunk_rows = int(os.environ.get("DEEP_CARTO_STREAM_CHUNK_ROWS", 0))
+        if chunk_rows <= 0:
+            # target ~256 MB fp32 per block
+            chunk_rows = max(
+                (256 * 2**20) // (4 * max(self.num_features, 1)), 1024
+            )
+        logger.info(
+            "Streaming projection: %d features over %d file(s) "
+            "(bounded-memory blocks).",
+            self.num_features, len(colvars_paths),
+        )
+        parts: List[np.ndarray] = []
+        file_rows: List[int] = []
+        for path in colvars_paths:
+            rows_here = 0
+            for blk in iter_features_chunks(
+                path, chunk_rows, feature_names=self.features_ref_labels
+            ):
+                if np.isnan(blk).any():
+                    raise ValueError(f"Clean your data! NaNs found in {path}")
+                rows_here += blk.shape[0]
+                parts.append(np.asarray(self.project_data(blk), np.float32))
+            file_rows.append(rows_here)
+        if not parts:
+            logger.error("The resulting dataframe is empty.")
+            return None
+        self.projection_data_labels = np.repeat(
+            np.arange(len(file_rows)), file_rows
+        )
+        return pd.DataFrame(
+            np.concatenate(parts, axis=0), columns=self.cv_labels
+        )
 
     def set_labels(self) -> None:
         self.cv_labels = [

@@ -872,3 +872,40 @@ def test_train_colvars_tool_streaming_end_to_end(
         assert proj, f"no projected csv for {name}: {csvs}"
         df = pd.read_csv(proj[0])
         assert len(df) == rows, (proj[0], len(df))
+
+
+def test_project_colvars_streaming_matches(
+    htica_two_file_dataset, tmp_path, monkeypatch
+):
+    """Block-streamed projection (forced via a tiny DEEP_CARTO_STREAM_BYTES)
+    returns exactly the in-memory project_colvars result, including
+    per-file projection_data_labels."""
+    from deep_cartograph_tpu.cv import cv_calculators_map
+
+    ds = htica_two_file_dataset
+    calc = cv_calculators_map["tica"](
+        configuration=base_config(lag_time=2),
+        output_path=str(tmp_path),
+    )
+    calc.load_training_data(ds["paths"], features_list=ds["labels"])
+    calc.run()
+
+    ref = calc.project_colvars(ds["paths"], None)
+    ref_labels = calc.projection_data_labels.copy()
+
+    monkeypatch.setenv("DEEP_CARTO_STREAM_BYTES", "1")
+    st = calc.project_colvars(ds["paths"], None)
+    np.testing.assert_allclose(
+        st.to_numpy(), ref.to_numpy(), atol=1e-5
+    )
+    np.testing.assert_array_equal(calc.projection_data_labels, ref_labels)
+
+    # NaN screen parity with the in-memory loader
+    from deep_cartograph_tpu.io.colvars import write_colvars as _wc
+
+    bad = np.full((20, 7), 0.5, np.float32)
+    bad[3, 4] = np.nan
+    bad_path = os.path.join(str(tmp_path), "badproj.dat")
+    _wc(bad_path, bad, ["time"] + ds["labels"], fmt="%.6f")
+    with pytest.raises(ValueError, match="Clean your data"):
+        calc.project_colvars([bad_path], None)
