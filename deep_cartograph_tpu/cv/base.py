@@ -234,38 +234,23 @@ class CVCalculator(ABC):
     def _estimate_matrix_bytes(
         self, paths, features_list=None, use_reading_window: bool = True
     ) -> int:
-        """Cheap fp32-matrix size estimate from file sizes + a head sample
-        (rows ~ bytes / avg data-line length), honoring the configured
-        reading window for training reads. Only used to pick a loading
-        strategy."""
-        from deep_cartograph_tpu.io.colvars import read_column_names
+        from deep_cartograph_tpu.io.colvars import (
+            estimate_matrix_bytes,
+            read_column_names,
+        )
 
         read = self.training_reading_settings if use_reading_window else {}
-        start = read.get("start", 0)
-        stop = read.get("stop", None)
-        stride = max(read.get("stride", 1), 1)
         n_feat = len(
             features_list
             or read_column_names(paths[0], features_only=True)
         )
-        total_rows = 0
-        for p in paths:
-            size = os.path.getsize(p)
-            with open(p, "rb") as fh:
-                head = fh.read(65536)
-            lines = [
-                ln for ln in head.split(b"\n")
-                if ln and not ln.startswith(b"#")
-            ]
-            bpr = (
-                sum(len(ln) + 1 for ln in lines) / len(lines)
-                if lines else max(n_feat, 1) * 12
-            )
-            rows = int(size / max(bpr, 1))
-            rows = len(range(start, rows if stop is None else min(stop, rows),
-                             stride)) if rows > start else 0
-            total_rows += rows
-        return total_rows * n_feat * 4
+        return estimate_matrix_bytes(
+            paths,
+            n_feat,
+            start=read.get("start", 0),
+            stop=read.get("stop", None),
+            stride=max(read.get("stride", 1), 1),
+        )
 
     # ------------------------------------------------------------------
     # Normalization contract (cf. reference cv_calculator.py:308-363)

@@ -138,6 +138,117 @@ class Filter:
         )
         return df.to_numpy(dtype=np.float32)
 
+    # -- larger-than-RAM inputs: stream the statistics --------------------
+    # The reference reads per-feature columns file-by-file (filter.py:
+    # 213-228) and the in-memory path here reads one full matrix; both hit
+    # a RAM ceiling. Past DEEP_CARTO_STREAM_BYTES (default 4 GiB), the
+    # screens stream instead: std from f64 moments, entropy from exact
+    # global-min/max histogram counts (identical binning math to
+    # stats.descriptors._bin_indices), and the dip test — which needs full
+    # per-feature columns — from bounded feature-block column passes.
+    def _should_stream_stats(self) -> bool:
+        from deep_cartograph_tpu.io.colvars import (
+            estimate_matrix_bytes,
+            is_plumed_file,
+        )
+
+        if self.topology_paths:  # cross-topology translation: in-memory
+            return False
+        if not all(is_plumed_file(p) for p in self.colvars_paths):
+            return False
+        threshold = int(os.environ.get("DEEP_CARTO_STREAM_BYTES", 4 * 2**30))
+        if threshold <= 0:
+            return False
+        return estimate_matrix_bytes(
+            self.colvars_paths, len(self.common_ref_features)
+        ) > threshold
+
+    def _stream_chunks(self, feature_names: List[str]):
+        from deep_cartograph_tpu.io.colvars import iter_features_chunks
+
+        chunk_rows = int(os.environ.get("DEEP_CARTO_STREAM_CHUNK_ROWS", 0))
+        if chunk_rows <= 0:
+            chunk_rows = max(
+                (256 * 2**20) // (4 * max(len(feature_names), 1)), 1024
+            )
+        for path in self.colvars_paths:
+            for blk in iter_features_chunks(
+                path, chunk_rows, feature_names=feature_names
+            ):
+                if np.isnan(blk).any():
+                    raise ValueError(f"Clean your data! NaNs found in {path}")
+                yield blk
+
+    def _compute_stats_streaming(self) -> None:
+        names = self.common_ref_features
+        F = len(names)
+        num_bins = 100
+        logger.info(
+            "Streaming filter statistics: %d features over %d file(s).",
+            F, len(self.colvars_paths),
+        )
+        # pass 1: f64 moments + per-feature min/max
+        n = 0
+        s1 = np.zeros(F, np.float64)
+        s2 = np.zeros(F, np.float64)
+        mn = np.full(F, np.inf, np.float32)
+        mx = np.full(F, -np.inf, np.float32)
+        for blk in self._stream_chunks(names):
+            b64 = blk.astype(np.float64)
+            n += blk.shape[0]
+            s1 += b64.sum(axis=0)
+            s2 += (b64 * b64).sum(axis=0)
+            np.minimum(mn, blk.min(axis=0), out=mn)
+            np.maximum(mx, blk.max(axis=0), out=mx)
+        if n == 0:
+            logger.error("The resulting dataframe is empty.")
+            sys.exit(1)
+        if self.std_filter:
+            mean = s1 / n
+            var = np.maximum(s2 / n - mean * mean, 0.0)
+            self.features_data["std"] = np.round(np.sqrt(var), 3)
+
+        # pass 2: exact histogram entropy (same f32 binning math as
+        # descriptors._bin_indices over the global min/max)
+        if self.entropy_filter:
+            span = np.where(mx > mn, mx - mn, np.float32(1.0)).astype(
+                np.float32
+            )
+            counts = np.zeros(F * num_bins, np.int64)
+            col_base = (np.arange(F, dtype=np.int64) * num_bins)[None, :]
+            for blk in self._stream_chunks(names):
+                idx = np.clip(
+                    ((blk - mn) / span * num_bins).astype(np.int32),
+                    0, num_bins - 1,
+                ).astype(np.int64)
+                counts += np.bincount(
+                    (idx + col_base).ravel(), minlength=F * num_bins
+                )
+            p = counts.reshape(F, num_bins) / n
+            with np.errstate(divide="ignore", invalid="ignore"):
+                plogp = np.where(p > 0, p * np.log2(np.where(p > 0, p, 1.0)),
+                                 0.0)
+            self.features_data["entropy"] = np.round(-plogp.sum(axis=1), 3)
+
+        # dip test: full per-feature columns required — bounded
+        # feature-block column passes (rows x K <= the block budget)
+        if self.diptest_filter:
+            block_budget = 256 * 2**20
+            K = max(int(block_budget // max(4 * n, 1)), 1)
+            hdtp = np.empty(F, np.float64)
+            n_passes = -(-F // K)
+            logger.info(
+                "Streaming dip test: %d feature-column passes of <=%d "
+                "features (full columns needed per feature).", n_passes, K,
+            )
+            for s in range(0, F, K):
+                sub = names[s : s + K]
+                cols = np.concatenate(
+                    list(self._stream_chunks(sub)), axis=0
+                )
+                hdtp[s : s + len(sub)] = dip_pvalues(cols)
+            self.features_data["hdtp"] = hdtp
+
     def run(self, csv_summary: bool = False) -> List[str]:
         """Apply all requested screens and return surviving feature names."""
         names = self.common_ref_features
@@ -165,13 +276,18 @@ class Filter:
             # One pass over all trajectory data for every statistic
             needs_stats = self.entropy_filter or self.std_filter or self.diptest_filter
             if needs_stats:
-                matrix = self._read_all(self.colvars_paths, self.topology_paths)
-                if self.entropy_filter:
-                    self.features_data["entropy"] = shannon_entropy(matrix)
-                if self.std_filter:
-                    self.features_data["std"] = standard_deviation(matrix)
-                if self.diptest_filter:
-                    self.features_data["hdtp"] = dip_pvalues(matrix)
+                if self._should_stream_stats():
+                    self._compute_stats_streaming()
+                else:
+                    matrix = self._read_all(
+                        self.colvars_paths, self.topology_paths
+                    )
+                    if self.entropy_filter:
+                        self.features_data["entropy"] = shannon_entropy(matrix)
+                    if self.std_filter:
+                        self.features_data["std"] = standard_deviation(matrix)
+                    if self.diptest_filter:
+                        self.features_data["hdtp"] = dip_pvalues(matrix)
 
         # Quantile / significance thresholds (cf. reference filter.py:258-272)
         if self.entropy_filter and self.entropy_quantile > 0:

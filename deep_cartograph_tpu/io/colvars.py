@@ -403,6 +403,40 @@ def check(colvars_path: str) -> None:
         sys.exit(1)
 
 
+def estimate_matrix_bytes(
+    colvars_paths: Union[List[str], str],
+    n_features: int,
+    start: int = 0,
+    stop: Optional[int] = None,
+    stride: int = 1,
+) -> int:
+    """Cheap fp32 feature-matrix size estimate from file sizes + a head
+    sample (rows ~ bytes / avg data-line length), honoring an optional
+    reading window. Only used to pick a loading strategy (in-memory vs
+    streaming); not exact."""
+    if isinstance(colvars_paths, str):
+        colvars_paths = [colvars_paths]
+    stride = max(stride, 1)
+    total_rows = 0
+    for p in colvars_paths:
+        size = os.path.getsize(p)
+        with open(p, "rb") as fh:
+            head = fh.read(65536)
+        lines = [
+            ln for ln in head.split(b"\n")
+            if ln and not ln.startswith(b"#")
+        ]
+        bpr = (
+            sum(len(ln) + 1 for ln in lines) / len(lines)
+            if lines else max(n_features, 1) * 12
+        )
+        rows = int(size / max(bpr, 1))
+        rows = len(range(start, rows if stop is None else min(stop, rows),
+                         stride)) if rows > start else 0
+        total_rows += rows
+    return total_rows * n_features * 4
+
+
 def is_plumed_file(file_path: str) -> bool:
     """True if file starts with '#! FIELDS' (cf. reference colvars.py:234-252)."""
     with open(file_path) as fh:

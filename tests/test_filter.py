@@ -202,3 +202,71 @@ def test_entropy_supports_more_than_127_bins(rng):
         p = p[p > 0]
         expect.append(-np.sum(p * np.log2(p)))
     np.testing.assert_allclose(got, expect, atol=1e-3)
+
+
+def test_filter_streaming_matches_in_memory(rng, tmp_path, monkeypatch):
+    """Past DEEP_CARTO_STREAM_BYTES (forced tiny here) the filter streams:
+    std from f64 moments, entropy from exact global-min/max histogram
+    counts, dip from feature-block column passes — all three screens must
+    reproduce the in-memory pass (same stats, same surviving list)."""
+    import pandas as pd
+
+    from deep_cartograph_tpu.features.filter import Filter
+    from deep_cartograph_tpu.io.colvars import clear_memory_cache
+
+    n = 300
+    labels = [f"dist-@CA_1-@CA_{i + 2}" for i in range(7)]
+    data = rng.standard_normal((n, 7)).astype(np.float32) * 0.05
+    data[:, 0] += np.where(rng.random(n) < 0.5, 0.3, 1.2)  # bimodal
+    data[:, 1] += 0.7
+    data[:, 2] *= 0.001  # near-constant
+    data += 0.5
+    paths = []
+    for fi in range(2):
+        p = str(tmp_path / f"cv{fi}.dat")
+        rows = slice(0, n // 2) if fi == 0 else slice(n // 2, n)
+        write_colvars(
+            p,
+            np.column_stack(
+                [np.arange(rows.stop - rows.start, dtype=np.float32),
+                 data[rows]]
+            ),
+            ["time"] + labels,
+            fmt="%.6f",
+        )
+        paths.append(p)
+
+    settings = {
+        "diptest_significance_level": 0.05,
+        "entropy_quantile": 0.2,
+        "std_quantile": 0.2,
+    }
+
+    def run_filter(out):
+        f = Filter(
+            settings=settings, colvars_paths=paths,
+            output_dir=str(tmp_path / out),
+        )
+        kept = f.run(csv_summary=True)
+        summary = pd.read_csv(tmp_path / out / "filter_summary.csv")
+        return kept, summary
+
+    kept_mem, sum_mem = run_filter("mem")
+
+    clear_memory_cache()
+    monkeypatch.setenv("DEEP_CARTO_STREAM_BYTES", "1")
+    # tiny chunk + column budgets exercise the multi-pass paths
+    monkeypatch.setenv("DEEP_CARTO_STREAM_CHUNK_ROWS", "64")
+    kept_st, sum_st = run_filter("stream")
+
+    assert kept_st == kept_mem
+    np.testing.assert_allclose(
+        sum_st["std"].to_numpy(), sum_mem["std"].to_numpy(), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        sum_st["entropy"].to_numpy(), sum_mem["entropy"].to_numpy(),
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        sum_st["hdtp"].to_numpy(), sum_mem["hdtp"].to_numpy(), atol=1e-8
+    )
