@@ -231,27 +231,6 @@ class CVCalculator(ABC):
         ).to_numpy()
         self.validation_data = validation_df.to_numpy(dtype=np.float32)
 
-    def _estimate_matrix_bytes(
-        self, paths, features_list=None, use_reading_window: bool = True
-    ) -> int:
-        from deep_cartograph_tpu.io.colvars import (
-            estimate_matrix_bytes,
-            read_column_names,
-        )
-
-        read = self.training_reading_settings if use_reading_window else {}
-        n_feat = len(
-            features_list
-            or read_column_names(paths[0], features_only=True)
-        )
-        return estimate_matrix_bytes(
-            paths,
-            n_feat,
-            start=read.get("start", 0),
-            stop=read.get("stop", None),
-            stride=max(read.get("stride", 1), 1),
-        )
-
     # ------------------------------------------------------------------
     # Normalization contract (cf. reference cv_calculator.py:308-363)
     # ------------------------------------------------------------------
@@ -424,18 +403,15 @@ class CVCalculator(ABC):
         return pd.DataFrame(np.asarray(projected), columns=self.cv_labels)
 
     def _should_stream_projection(self, colvars_paths) -> bool:
-        from deep_cartograph_tpu.io.colvars import is_plumed_file
+        from deep_cartograph_tpu.io.colvars import should_stream_colvars
 
-        if isinstance(colvars_paths, str):
-            colvars_paths = [colvars_paths]
-        if not all(is_plumed_file(p) for p in colvars_paths):
-            return False
-        threshold = int(os.environ.get("DEEP_CARTO_STREAM_BYTES", 4 * 2**30))
-        if threshold <= 0:
-            return False
-        return self._estimate_matrix_bytes(
-            colvars_paths, self.features_ref_labels, use_reading_window=False
-        ) > threshold
+        # Same knob as training streaming: configuration `streaming`
+        # (true/on forces, false/off disables, auto = size threshold over
+        # the FULL file width — the in-memory reader materializes every
+        # column before selecting).
+        return should_stream_colvars(
+            colvars_paths, self.configuration.get("streaming", "auto")
+        )
 
     def _project_colvars_streaming(
         self, colvars_paths
@@ -444,12 +420,6 @@ class CVCalculator(ABC):
 
         if isinstance(colvars_paths, str):
             colvars_paths = [colvars_paths]
-        chunk_rows = int(os.environ.get("DEEP_CARTO_STREAM_CHUNK_ROWS", 0))
-        if chunk_rows <= 0:
-            # target ~256 MB fp32 per block
-            chunk_rows = max(
-                (256 * 2**20) // (4 * max(self.num_features, 1)), 1024
-            )
         logger.info(
             "Streaming projection: %d features over %d file(s) "
             "(bounded-memory blocks).",
@@ -460,16 +430,20 @@ class CVCalculator(ABC):
         for path in colvars_paths:
             rows_here = 0
             for blk in iter_features_chunks(
-                path, chunk_rows, feature_names=self.features_ref_labels
+                path,
+                feature_names=self.features_ref_labels,
+                nan_check=True,
             ):
-                if np.isnan(blk).any():
-                    raise ValueError(f"Clean your data! NaNs found in {path}")
                 rows_here += blk.shape[0]
                 parts.append(np.asarray(self.project_data(blk), np.float32))
             file_rows.append(rows_here)
         if not parts:
+            # same hard exit as the in-memory reader
+            # (create_dataframe_from_files)
             logger.error("The resulting dataframe is empty.")
-            return None
+            import sys
+
+            sys.exit(1)
         self.projection_data_labels = np.repeat(
             np.arange(len(file_rows)), file_rows
         )

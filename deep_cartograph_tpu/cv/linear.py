@@ -121,32 +121,26 @@ class LinearCalculator(CVCalculator):
     # when the estimated fp32 matrix exceeds DEEP_CARTO_STREAM_BYTES
     # (default 4 GiB; 0 disables auto).
     def _should_stream(self, paths, topology_paths, features_list=None) -> bool:
-        from deep_cartograph_tpu.io.colvars import is_plumed_file
+        from deep_cartograph_tpu.io.colvars import should_stream_colvars
 
         mode = self.configuration.get("streaming", "auto")
-        if mode in (False, "off", "false"):
+        if topology_paths is not None:
+            if mode in (True, "on"):
+                logger.warning(
+                    "streaming=true requested but the inputs need "
+                    "cross-topology translation; falling back to "
+                    "in-memory loading."
+                )
             return False
         if isinstance(paths, str):
             paths = [paths]
-        streamable = topology_paths is None and all(
-            is_plumed_file(p) for p in paths
-        )
-        if mode is True or mode == "on":
-            if not streamable:
-                logger.warning(
-                    "streaming=true requested but the inputs need "
-                    "cross-topology translation or are not PLUMED files; "
-                    "falling back to in-memory loading."
-                )
-            return streamable
-        if not streamable:
-            return False
-        threshold = int(
-            os.environ.get("DEEP_CARTO_STREAM_BYTES", 4 * 2**30)
-        )
-        if threshold <= 0:
-            return False
-        return self._estimate_matrix_bytes(paths, features_list) > threshold
+        result = should_stream_colvars(paths, mode)
+        if mode in (True, "on") and not result:
+            logger.warning(
+                "streaming=true requested but the inputs are not PLUMED "
+                "files; falling back to in-memory loading."
+            )
+        return result
 
     def _setup_streaming(
         self, train_colvars_paths, ref_topology_path, features_list
@@ -185,8 +179,6 @@ class LinearCalculator(CVCalculator):
         for path in self._stream_paths:
             rows_here = 0
             for blk in self._file_chunks(path):
-                if np.isnan(blk).any():
-                    raise ValueError(f"Clean your data! NaNs found in {path}")
                 b64 = blk.astype(np.float64)
                 rows_here += b64.shape[0]
                 s1 += b64.sum(axis=0)
@@ -218,21 +210,20 @@ class LinearCalculator(CVCalculator):
     def _file_chunks(self, path: str):
         """Bounded-memory chunk stream over ONE colvars file, honoring the
         configured reading window (same per-file semantics as
-        load_dataframe)."""
+        load_dataframe). Chunk rows auto-size from the file's FULL width
+        (one parsed slab stays within the block budget regardless of how
+        narrow the feature selection is); NaNs anywhere in the file raise
+        like the in-memory loader."""
         from deep_cartograph_tpu.io.colvars import iter_features_chunks
 
         read = self.training_reading_settings
-        chunk_rows = int(os.environ.get("DEEP_CARTO_STREAM_CHUNK_ROWS", 0))
-        if chunk_rows <= 0:
-            # target ~256 MB fp32 per block
-            chunk_rows = max((256 * 2**20) // (4 * self.num_features), 1024)
         yield from iter_features_chunks(
             path,
-            chunk_rows,
             feature_names=self.features_ref_labels,
             start=read.get("start", 0),
             stop=read.get("stop", None),
             stride=max(read.get("stride", 1), 1),
+            nan_check=True,
         )
 
     def _stream_blocks(self, with_breaks: bool = False):

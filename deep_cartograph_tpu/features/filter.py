@@ -136,7 +136,12 @@ class Filter:
             topology_paths=topologies,
             reference_topology=self.ref_topology_path,
         )
-        return df.to_numpy(dtype=np.float32)
+        arr = df.to_numpy(dtype=np.float32)
+        if np.isnan(arr).any():
+            # same screen as create_dataframe_from_files / the streaming
+            # path: NaN statistics silently corrupt every threshold
+            raise ValueError("Clean your data! NaNs found in the colvars files.")
+        return arr
 
     # -- larger-than-RAM inputs: stream the statistics --------------------
     # The reference reads per-feature columns file-by-file (filter.py:
@@ -147,37 +152,22 @@ class Filter:
     # stats.descriptors._bin_indices), and the dip test — which needs full
     # per-feature columns — from bounded feature-block column passes.
     def _should_stream_stats(self) -> bool:
-        from deep_cartograph_tpu.io.colvars import (
-            estimate_matrix_bytes,
-            is_plumed_file,
-        )
+        from deep_cartograph_tpu.io.colvars import should_stream_colvars
 
         if self.topology_paths:  # cross-topology translation: in-memory
             return False
-        if not all(is_plumed_file(p) for p in self.colvars_paths):
-            return False
-        threshold = int(os.environ.get("DEEP_CARTO_STREAM_BYTES", 4 * 2**30))
-        if threshold <= 0:
-            return False
-        return estimate_matrix_bytes(
-            self.colvars_paths, len(self.common_ref_features)
-        ) > threshold
+        return should_stream_colvars(self.colvars_paths, "auto")
 
     def _stream_chunks(self, feature_names: List[str]):
+        # chunk rows auto-size from each file's FULL width (the parsed
+        # slab holds every column regardless of the selection); NaNs
+        # anywhere raise like _read_all's screen
         from deep_cartograph_tpu.io.colvars import iter_features_chunks
 
-        chunk_rows = int(os.environ.get("DEEP_CARTO_STREAM_CHUNK_ROWS", 0))
-        if chunk_rows <= 0:
-            chunk_rows = max(
-                (256 * 2**20) // (4 * max(len(feature_names), 1)), 1024
-            )
         for path in self.colvars_paths:
-            for blk in iter_features_chunks(
-                path, chunk_rows, feature_names=feature_names
-            ):
-                if np.isnan(blk).any():
-                    raise ValueError(f"Clean your data! NaNs found in {path}")
-                yield blk
+            yield from iter_features_chunks(
+                path, feature_names=feature_names, nan_check=True
+            )
 
     def _compute_stats_streaming(self) -> None:
         names = self.common_ref_features

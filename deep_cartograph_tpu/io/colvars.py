@@ -229,11 +229,12 @@ def _parse_body(body: bytes, n_cols: int, origin: str = "<slab>") -> np.ndarray:
 
 def iter_features_chunks(
     colvars_path: str,
-    chunk_rows: int,
+    chunk_rows: Optional[int] = None,
     feature_names: Optional[List[str]] = None,
     start: int = 0,
     stop: Optional[int] = None,
     stride: int = 1,
+    nan_check: bool = False,
 ):
     """Stream the feature matrix of a colvars file as (<=chunk_rows, F)
     float32 blocks WITHOUT materializing the full matrix — the reader for
@@ -251,8 +252,14 @@ def iter_features_chunks(
     indexing cannot be honored.
 
     Yields (rows, F) arrays; the final block may be short. Returns without
-    yielding for empty bodies.
+    yielding for empty bodies. ``chunk_rows=None`` auto-sizes from the
+    file's FULL column width (stream_chunk_rows). ``nan_check`` raises the
+    in-memory loader's "Clean your data!" error on a NaN anywhere in the
+    FULL-width parsed rows (not just the selected columns), matching
+    create_dataframe_from_files' validation scope.
     """
+    if chunk_rows is None:
+        chunk_rows = stream_chunk_rows(colvars_path)
     if chunk_rows < 1:
         raise ValueError(f"chunk_rows must be >= 1, got {chunk_rows}")
     if stride < 1:
@@ -272,6 +279,8 @@ def iter_features_chunks(
 
     hit = _cache_get(colvars_path)
     if hit is not None:
+        if nan_check and np.isnan(hit[1]).any():
+            raise ValueError(f"Clean your data! NaNs found in {colvars_path}")
         mat = hit[1][start:stop:stride]
         for s in range(0, mat.shape[0], chunk_rows):
             yield np.ascontiguousarray(
@@ -287,6 +296,8 @@ def iter_features_chunks(
 
     def _select(block: np.ndarray):
         nonlocal row_idx
+        if nan_check and np.isnan(block).any():
+            raise ValueError(f"Clean your data! NaNs found in {colvars_path}")
         lo = row_idx
         row_idx += block.shape[0]
         # global [start:stop:stride] applied to this block's row range
@@ -435,6 +446,50 @@ def estimate_matrix_bytes(
                          stride)) if rows > start else 0
         total_rows += rows
     return total_rows * n_features * 4
+
+
+def stream_chunk_rows(
+    colvars_path: str, budget_bytes: int = 256 * 2**20
+) -> int:
+    """Rows per streamed block such that one full-width parsed slab stays
+    within ~budget_bytes. Sizing MUST use the file's total column count —
+    the slab parses ALL columns before any selection, so sizing by a
+    narrower selection would blow the budget by n_cols/len(selection).
+    DEEP_CARTO_STREAM_CHUNK_ROWS overrides."""
+    env = int(os.environ.get("DEEP_CARTO_STREAM_CHUNK_ROWS", 0))
+    if env > 0:
+        return env
+    n_cols = max(len(read_column_names(colvars_path)), 1)
+    return max(budget_bytes // (4 * n_cols), 256)
+
+
+def should_stream_colvars(
+    colvars_paths: Union[List[str], str], mode="auto"
+) -> bool:
+    """Shared larger-than-RAM streaming trigger. Streams only PLUMED
+    files. 'auto' streams when the estimated FULL-WIDTH fp32 matrix —
+    what the in-memory reader materializes before any column selection —
+    exceeds DEEP_CARTO_STREAM_BYTES (default 4 GiB; 0 disables auto).
+    True/'on' forces (if eligible); False/'off' disables."""
+    if isinstance(colvars_paths, str):
+        colvars_paths = [colvars_paths]
+    if mode in (False, "off", "false"):
+        return False
+    eligible = bool(colvars_paths) and all(
+        is_plumed_file(p) for p in colvars_paths
+    )
+    if mode in (True, "on"):
+        return eligible
+    if not eligible:
+        return False
+    threshold = int(os.environ.get("DEEP_CARTO_STREAM_BYTES", 4 * 2**30))
+    if threshold <= 0:
+        return False
+    total = sum(
+        estimate_matrix_bytes([p], max(len(read_column_names(p)), 1))
+        for p in colvars_paths
+    )
+    return total > threshold
 
 
 def is_plumed_file(file_path: str) -> bool:
