@@ -31,6 +31,61 @@ TRANSIENT_MARKERS = (
     "DEADLINE_EXCEEDED",
 )
 
+# The axon chip is SINGLE-TENANT and contention is catastrophic, not
+# graceful: a second client's backend init can hang indefinitely and can
+# wedge the tunnel server-side (measured; see ARCHITECTURE.md "Tunnel
+# notes"). Every chip entrypoint serializes on this advisory lock.
+CHIP_LOCK_PATH = "/tmp/deep_carto_chip.lock"
+_CHIP_LOCK_FD_ENV = "_DC_CHIP_LOCK_FD"
+
+
+def acquire_chip_lock(tag: str = "bench", blocking: bool = True):
+    """Exclusive advisory lock over the single-tenant chip.
+
+    Returns the lock fd (held until process exit), or None when
+    ``blocking=False`` and another process holds it. The fd is marked
+    inheritable and its number is carried in the environment so
+    run_with_recovery's os.execv re-executions KEEP the lock instead of
+    deadlocking against their own previous open file description (flock
+    is per open-file-description, not per process).
+    """
+    import fcntl
+
+    inherited = os.environ.get(_CHIP_LOCK_FD_ENV)
+    if inherited:
+        try:
+            fd = int(inherited)
+            os.fstat(fd)
+            return fd  # still held across execv
+        except (ValueError, OSError):
+            pass
+    fd = os.open(CHIP_LOCK_PATH, os.O_RDWR | os.O_CREAT, 0o666)
+    os.set_inheritable(fd, True)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        if not blocking:
+            os.close(fd)
+            return None
+        try:
+            with open(CHIP_LOCK_PATH) as fh:
+                holder = fh.read(64).strip() or "?"
+        except OSError:
+            holder = "?"
+        print(
+            f"[{tag}] chip lock held by {holder}; waiting for it to "
+            "finish (single-tenant chip — overlapping clients wedge the "
+            "tunnel)...",
+            file=sys.stderr,
+            flush=True,
+        )
+        fcntl.flock(fd, fcntl.LOCK_EX)
+    os.ftruncate(fd, 0)
+    os.lseek(fd, 0, os.SEEK_SET)
+    os.write(fd, f"pid {os.getpid()} ({tag})".encode())
+    os.environ[_CHIP_LOCK_FD_ENV] = str(fd)
+    return fd
+
 
 def _release(exc: BaseException) -> None:
     """Drop the traceback's frame references BEFORE sleeping: they pin
@@ -52,6 +107,7 @@ def run_with_recovery(
 
     env_key carries the attempt counter across os.execv re-executions.
     """
+    acquire_chip_lock(tag)  # serialize on the single-tenant chip
     attempt = int(os.environ.get(env_key, "0"))
     try:
         main()
