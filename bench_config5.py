@@ -609,5 +609,7 @@ if __name__ == "__main__":
     from bench_common import run_with_recovery
 
     run_with_recovery(
-        main, __file__, "CFG5_ATTEMPT", max_attempts=5, tag="config5"
+        main, __file__, "CFG5_ATTEMPT",
+        max_attempts=int(os.environ.get("CFG5_MAX_ATTEMPTS", 5)),
+        tag="config5",
     )
