@@ -56,6 +56,12 @@ V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (MFU denominator)
 
 def _log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    # Every stage log re-stamps the chip-lock heartbeat: a holder that
+    # stops logging (wedged in backend init) goes stale and waiters
+    # fail fast with that diagnosis (bench_common round-5 contract).
+    from bench_common import refresh_chip_heartbeat
+
+    refresh_chip_heartbeat()
 
 
 def _sync(x):

@@ -72,6 +72,11 @@ N_CLUSTERS = 4
 
 def _log(msg: str) -> None:
     print(f"[config5] {msg}", file=sys.stderr, flush=True)
+    # Stage logs re-stamp the chip-lock heartbeat; a holder wedged in a
+    # backend-init hang stops logging and goes stale for waiters.
+    from bench_common import refresh_chip_heartbeat
+
+    refresh_chip_heartbeat()
 
 
 def _retry_re(fn, what: str, tries: int = 2):

@@ -32,6 +32,9 @@ N_DIST = int(os.environ.get("PROT_DIST", 10_000))
 
 def _log(msg: str) -> None:
     print(f"[protein] {msg}", file=sys.stderr, flush=True)
+    from bench_common import refresh_chip_heartbeat
+
+    refresh_chip_heartbeat()
 
 
 def main() -> None:

@@ -1,38 +1,53 @@
-"""Chip-lock semantics for the bench entrypoints (single-tenant chip)."""
+"""Chip-lock semantics for the bench entrypoints (single-tenant chip).
 
+Round-5 contract (VERDICT r04 items 1b/1c/6): blocking acquires are
+bounded, the lock file carries a heartbeat, waiters fail fast on a stale
+holder, recovery sleeps release the lock, and an unacquirable chip makes
+run_with_recovery print one diagnostic JSON line and exit nonzero.
+"""
+
+import json
 import os
 import subprocess
 import sys
 import textwrap
+import time
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(code: str) -> subprocess.CompletedProcess:
+def _run(code: str, env=None) -> subprocess.CompletedProcess:
     return subprocess.run(
         [sys.executable, "-c", textwrap.dedent(code)],
         capture_output=True, text=True, timeout=60,
-        env={**os.environ, "PYTHONPATH": REPO},
+        env={**os.environ, "PYTHONPATH": REPO, **(env or {})},
     )
 
 
-def test_chip_lock_excludes_second_process(tmp_path):
-    hold = subprocess.Popen(
+def _holder(tmp_path, extra: str = "") -> subprocess.Popen:
+    """A process that acquires the lock, prints 'held', then sleeps."""
+    proc = subprocess.Popen(
         [sys.executable, "-c", textwrap.dedent(f"""
             import sys, time
             sys.path.insert(0, {REPO!r})
             import bench_common
             bench_common.CHIP_LOCK_PATH = {str(tmp_path / 'chip.lock')!r}
             bench_common.acquire_chip_lock("holder")
+            {extra}
             print("held", flush=True)
             time.sleep(30)
         """)],
         stdout=subprocess.PIPE, text=True,
     )
+    assert proc.stdout.readline().strip() == "held"
+    return proc
+
+
+def test_chip_lock_excludes_second_process(tmp_path):
+    hold = _holder(tmp_path)
     try:
-        assert hold.stdout.readline().strip() == "held"
         out = _run(f"""
             import sys
             sys.path.insert(0, {REPO!r})
@@ -70,3 +85,133 @@ def test_chip_lock_survives_reacquire_in_same_process(tmp_path):
         print("ok")
     """)
     assert "ok" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_blocking_acquire_is_bounded(tmp_path):
+    """A waiter against a healthy holder raises ChipLockUnavailable once
+    its bounded wait expires — never an unbounded flock."""
+    hold = _holder(tmp_path)
+    try:
+        t0 = time.time()
+        out = _run(f"""
+            import sys
+            sys.path.insert(0, {REPO!r})
+            import bench_common
+            bench_common.CHIP_LOCK_PATH = {str(tmp_path / 'chip.lock')!r}
+            try:
+                bench_common.acquire_chip_lock("waiter", timeout_s=2)
+            except bench_common.ChipLockUnavailable as exc:
+                print("UNAVAILABLE:", exc)
+        """)
+        elapsed = time.time() - t0
+        assert "UNAVAILABLE:" in out.stdout, (out.stdout, out.stderr)
+        assert "(holder)" in out.stdout  # diagnosis names the holder
+        assert elapsed < 30, elapsed
+    finally:
+        hold.kill()
+        hold.wait()
+
+
+def test_stale_heartbeat_fails_fast(tmp_path):
+    """A live holder whose heartbeat is older than the stale threshold is
+    a wedged holder (backend-init hang): waiters diagnose it immediately
+    instead of burning their own timeout."""
+    hold = _holder(tmp_path)
+    try:
+        # Forge a 2h-old heartbeat in the lock file (the holder wedged in
+        # backend init cannot refresh it — that is the detection signal).
+        stale_ts = int(time.time()) - 7200
+        lock = tmp_path / "chip.lock"
+        lock.write_text(f"pid {hold.pid} (holder) hb {stale_ts}")
+        t0 = time.time()
+        out = _run(f"""
+            import sys
+            sys.path.insert(0, {REPO!r})
+            import bench_common
+            bench_common.CHIP_LOCK_PATH = {str(tmp_path / 'chip.lock')!r}
+            try:
+                bench_common.acquire_chip_lock("waiter", timeout_s=300)
+            except bench_common.ChipLockUnavailable as exc:
+                print("STALE-DETECTED:", exc)
+        """)
+        assert "STALE-DETECTED:" in out.stdout, (out.stdout, out.stderr)
+        assert "STALE heartbeat" in out.stdout
+        assert time.time() - t0 < 30  # fail-fast, not the 300s timeout
+    finally:
+        hold.kill()
+        hold.wait()
+
+
+def test_heartbeat_refresh_updates_timestamp(tmp_path):
+    out = _run(f"""
+        import os, re, sys, time
+        sys.path.insert(0, {REPO!r})
+        import bench_common
+        bench_common.CHIP_LOCK_PATH = {str(tmp_path / 'chip.lock')!r}
+        bench_common.acquire_chip_lock("t")
+        first = open(bench_common.CHIP_LOCK_PATH).read()
+        hb1 = float(re.search(r"hb (\\d+)", first).group(1))
+        time.sleep(1.1)
+        bench_common.refresh_chip_heartbeat()
+        second = open(bench_common.CHIP_LOCK_PATH).read()
+        hb2 = float(re.search(r"hb (\\d+)", second).group(1))
+        assert hb2 > hb1, (first, second)
+        print("ok")
+    """)
+    assert "ok" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_release_chip_lock_frees_waiters(tmp_path):
+    """release_chip_lock (called across recovery cool-down sleeps) must
+    let another process acquire immediately."""
+    out = _run(f"""
+        import os, subprocess, sys
+        sys.path.insert(0, {REPO!r})
+        import bench_common
+        bench_common.CHIP_LOCK_PATH = {str(tmp_path / 'chip.lock')!r}
+        bench_common.acquire_chip_lock("t")
+        bench_common.release_chip_lock()
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, {REPO!r}); "
+             "import bench_common; "
+             "bench_common.CHIP_LOCK_PATH = "
+             + repr({str(tmp_path / 'chip.lock')!r}) +
+             "; print(bench_common.acquire_chip_lock('p', blocking=False))"],
+            capture_output=True, text=True,
+        )
+        assert probe.stdout.strip() != "None", probe.stdout
+        # and release is idempotent / env is cleared
+        assert os.environ.get("_DC_CHIP_LOCK_FD") is None
+        bench_common.release_chip_lock()
+        print("ok")
+    """)
+    assert "ok" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_run_with_recovery_prints_diagnostic_json_on_busy_chip(tmp_path):
+    """The driver contract: if the chip cannot be acquired, the bench must
+    still print ONE JSON line (self-diagnosing) and exit nonzero — never
+    sit silently in a lock queue until the driver's timeout."""
+    hold = _holder(tmp_path)
+    try:
+        out = _run(
+            f"""
+            import sys
+            sys.path.insert(0, {REPO!r})
+            import bench_common
+            bench_common.CHIP_LOCK_PATH = {str(tmp_path / 'chip.lock')!r}
+            bench_common.run_with_recovery(
+                lambda: None, "/tmp/bench_stub.py", "TEST_ATTEMPT",
+                tag="bench")
+            """,
+            env={"DC_CHIP_LOCK_TIMEOUT_S": "2"},
+        )
+        assert out.returncode == 3, (out.returncode, out.stdout, out.stderr)
+        line = json.loads(out.stdout.strip().splitlines()[-1])
+        assert line["metric"] == "bench_unavailable"
+        assert line["vs_baseline"] == 0
+        assert "chip lock held by" in line["error"]
+    finally:
+        hold.kill()
+        hold.wait()
