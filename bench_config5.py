@@ -54,8 +54,11 @@ SOURCE = os.environ.get("CFG5_SOURCE", "disk")
 # iterator (decode+upload per pass under SOURCE=disk); "chunked" featurizes
 # the RESIDENT coords buffer inside K-block fori_loop dispatches
 # (StreamingHTICA.fit_chunked) — the TPU-native shape once coordinates are
-# device-resident (they already are, for the deep-TICA stage).
-HTICA_MODE = os.environ.get("CFG5_HTICA_MODE", "eager")
+# device-resident (they already are, for the deep-TICA stage). "both"
+# (default) measures BOTH, asserts eigenvalue parity between them, and
+# counts the faster one in the pipeline total (choice recorded in the
+# artifact — VERDICT r04 item 3).
+HTICA_MODE = os.environ.get("CFG5_HTICA_MODE", "both")
 HTICA_K = int(os.environ.get("CFG5_HTICA_K", 8))
 # fit_chunked needs blocks_per_dispatch to divide the pass evenly; resolve
 # the effective K from the frame/block combo UP FRONT (largest divisor of
@@ -357,39 +360,76 @@ def main() -> None:
         )
 
     # ---- stage 2: StreamingHTICA at FULL 100k x 50k --------------------
-    sh = StreamingHTICA(
-        n_features=N_FEATURES,
-        num_subspaces=NUM_SUBSPACES,
-        subspaces_dimension=SUB_OUT,
-        cv_dimension=CV_DIM,
-        lag_time=LAG,
-        reg=1e-6,
-    )
-    t0 = time.time()
-    if HTICA_MODE == "chunked":
+    def _mk_htica():
+        return StreamingHTICA(
+            n_features=N_FEATURES,
+            num_subspaces=NUM_SUBSPACES,
+            subspaces_dimension=SUB_OUT,
+            cv_dimension=CV_DIM,
+            lag_time=LAG,
+            reg=1e-6,
+        )
+
+    def _fit_eager():
+        sh_m = _mk_htica()
+        t0 = time.time()
+        sh_m.fit(block_iter)
+        return sh_m, time.time() - t0
+
+    def _fit_chunked():
         # Closure-free composition: coords + plan arrays ride as traced
         # jit arguments of the chunk program (block_args). Closing over
         # them would bake the 384 MB coords buffer and every plan array
         # into the lowered module as XLA constants — unshippable through
         # the remote-compile tunnel (see PlanEvaluator.device_fn_args).
+        sh_m = _mk_htica()
         feat_fn, plan_args = evaluator.device_fn_args()
 
         def htica_block_fn(start, coords, *plan):
             c = jax.lax.dynamic_slice_in_dim(coords, start, BLOCK, 0)
             return feat_fn(c, *plan)
 
-        sh.fit_chunked(
+        t0 = time.time()
+        sh_m.fit_chunked(
             htica_block_fn, N_FRAMES, BLOCK,
             blocks_per_dispatch=HTICA_K_EFF,
             block_args=(coords_buf, *plan_args),
         )
         # the chunked programs return lazily; sync before stamping the time
-        float(jnp.asarray(sh.eigenvalues_)[0])
-    else:
-        sh.fit(block_iter)
-    stages["htica_fit_s"] = round(time.time() - t0, 2)
-    _log(f"StreamingHTICA fit [{HTICA_MODE}] {stages['htica_fit_s']}s "
-         f"(top eig {float(sh.eigenvalues_[0]):.4f})")
+        float(jnp.asarray(sh_m.eigenvalues_)[0])
+        return sh_m, time.time() - t0
+
+    fits = {}
+    modes = ("chunked", "eager") if HTICA_MODE == "both" else (HTICA_MODE,)
+    for m in modes:
+        fn = _fit_chunked if m == "chunked" else _fit_eager
+        sh_m, dt = _retry_re(fn, f"HTICA fit [{m}]")
+        fits[m] = (sh_m, dt)
+        stages[f"htica_fit_{m}_s"] = round(dt, 2)
+        _log(f"StreamingHTICA fit [{m}] {dt:.2f}s "
+             f"(top eig {float(sh_m.eigenvalues_[0]):.4f})")
+        _hbm(f"after_htica_{m}")
+    if "chunked" in fits and HTICA_MODE == "both":
+        # first chunked fit paid the K-block program compile; measure the
+        # warm dispatch cost too (compile is cached across runs/processes,
+        # like featurize_compile_s — both recorded, warm counts)
+        sh_m, dt = _retry_re(_fit_chunked, "HTICA fit [chunked warm]")
+        stages["htica_fit_chunked_cold_s"] = stages.pop("htica_fit_chunked_s")
+        stages["htica_fit_chunked_s"] = round(dt, 2)
+        fits["chunked"] = (sh_m, dt)
+        _log(f"StreamingHTICA fit [chunked warm] {dt:.2f}s")
+    if len(fits) == 2:
+        # the two execution shapes must agree on the physics
+        np.testing.assert_allclose(
+            np.asarray(fits["chunked"][0].eigenvalues_),
+            np.asarray(fits["eager"][0].eigenvalues_),
+            atol=1e-3,
+        )
+    htica_mode_used = min(fits, key=lambda m: fits[m][1])
+    sh = fits[htica_mode_used][0]
+    stages["htica_fit_s"] = round(fits[htica_mode_used][1], 2)
+    _log(f"HTICA mode used for the pipeline total: {htica_mode_used} "
+         f"({stages['htica_fit_s']}s)")
     _hbm("after_htica")
 
     # ---- stage 3: deep-TICA at the FULL filtered width ------------------
@@ -530,6 +570,10 @@ def main() -> None:
     excluded = (
         "featurize_compile_s", "traj_write_s",
         "moments_pass_device_resident_s",
+        # per-mode HTICA diagnostics: only htica_fit_s (the used mode)
+        # counts toward the pipeline total
+        "htica_fit_eager_s", "htica_fit_chunked_s",
+        "htica_fit_chunked_cold_s",
     )
     total = sum(v for k, v in stages.items() if k not in excluded)
     cold_total = total + stages.get("featurize_compile_s", 0.0) + plan_host_s
@@ -564,13 +608,14 @@ def main() -> None:
             "warm_total_s": round(total, 2),
             "cold_total_s": round(cold_total, 2),
             "htica_mode": HTICA_MODE,
+            "htica_mode_used": htica_mode_used,
             "htica_blocks_per_dispatch": (
-                HTICA_K_EFF if HTICA_MODE == "chunked" else None
+                HTICA_K_EFF if "chunked" in fits else None
             ),
             # chunked HTICA featurizes the RESIDENT coords buffer — that
             # stage pays no decode/upload leg even under SOURCE=disk.
             "htica_decode_inclusive": (
-                SOURCE == "disk" and HTICA_MODE != "chunked"
+                SOURCE == "disk" and htica_mode_used != "chunked"
             ),
             "n_filtered_std_screen": n_filtered,
             "deep_tica_input_features": K,
@@ -601,7 +646,14 @@ def main() -> None:
                 "shipped prefetching reader and pays host->device upload; "
                 "moments_pass_device_resident_s records the same pass "
                 "without that leg. cold_total_s adds the featurize compile "
-                "and host plan compile to the warm pipeline total."
+                "and host plan compile to the warm pipeline total. "
+                "htica_mode=both times the eager re-stream AND the "
+                "fit_chunked K-block dispatch on the resident coords "
+                "(cold incl. its one-time program compile + warm), asserts "
+                "their eigenvalues agree at 1e-3, and counts the faster "
+                "(htica_mode_used) in the total. PLUMED-export validation "
+                "remains interpreter-level only: no plumed binary exists "
+                "in this image (README 'Export validation')."
             ),
         },
     }

@@ -372,9 +372,11 @@ class CVCalculator(ABC):
         # (linear matmul, per-batch nets, and UMAP's per-query transform
         # are all row-independent). Same trigger knob as training
         # streaming; no reading window applies to projection.
-        if not topology_paths and self._should_stream_projection(
-            colvars_paths
-        ):
+        from deep_cartograph_tpu.io.colvars import translation_is_identity
+
+        if translation_is_identity(
+            topology_paths, self.ref_topology_path
+        ) and self._should_stream_projection(colvars_paths):
             return self._project_colvars_streaming(colvars_paths)
         colvars_df = create_dataframe_from_files(
             colvars_paths=colvars_paths,

@@ -91,8 +91,11 @@ class LinearCalculator(CVCalculator):
         # from disk instead of materializing (the reference OOMs here,
         # colvars.py:322-473). See _should_stream for the trigger.
         if self._should_stream(
-            train_colvars_paths, train_topology_paths, features_list
+            train_colvars_paths, train_topology_paths, features_list,
+            ref_topology_path,
         ):
+            if train_topology_paths and ref_topology_path is None:
+                ref_topology_path = train_topology_paths[0]
             self._setup_streaming(
                 train_colvars_paths, ref_topology_path, features_list
             )
@@ -120,11 +123,19 @@ class LinearCalculator(CVCalculator):
     # Triggered by configuration key `streaming: true`, or automatically
     # when the estimated fp32 matrix exceeds DEEP_CARTO_STREAM_BYTES
     # (default 4 GiB; 0 disables auto).
-    def _should_stream(self, paths, topology_paths, features_list=None) -> bool:
-        from deep_cartograph_tpu.io.colvars import should_stream_colvars
+    def _should_stream(
+        self, paths, topology_paths, features_list=None,
+        ref_topology_path=None,
+    ) -> bool:
+        from deep_cartograph_tpu.io.colvars import (
+            should_stream_colvars,
+            translation_is_identity,
+        )
 
         mode = self.configuration.get("streaming", "auto")
-        if topology_paths is not None:
+        if not translation_is_identity(topology_paths, ref_topology_path):
+            # distinct topologies: per-file feature translation really is
+            # needed, and the streaming reader selects by untranslated name
             if mode in (True, "on"):
                 logger.warning(
                     "streaming=true requested but the inputs need "

@@ -152,9 +152,15 @@ class Filter:
     # stats.descriptors._bin_indices), and the dip test — which needs full
     # per-feature columns — from bounded feature-block column passes.
     def _should_stream_stats(self) -> bool:
-        from deep_cartograph_tpu.io.colvars import should_stream_colvars
+        from deep_cartograph_tpu.io.colvars import (
+            should_stream_colvars,
+            translation_is_identity,
+        )
 
-        if self.topology_paths:  # cross-topology translation: in-memory
+        # real cross-topology translation (distinct topologies): in-memory
+        if not translation_is_identity(
+            self.topology_paths, self.ref_topology_path
+        ):
             return False
         return should_stream_colvars(self.colvars_paths, "auto")
 

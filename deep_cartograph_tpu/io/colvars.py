@@ -492,6 +492,24 @@ def should_stream_colvars(
     return total > threshold
 
 
+def translation_is_identity(
+    topology_paths: Optional[List[str]], reference_topology: Optional[str]
+) -> bool:
+    """True when per-file cross-topology feature translation would be a
+    no-op: no topologies given, or every topology IS the reference topology
+    (which defaults to the first topology when unset — cf.
+    CVCalculator.load_training_data). The streaming readers select columns
+    by untranslated feature name, so they are valid exactly in this case."""
+    if not topology_paths:
+        return True
+    ref = reference_topology or topology_paths[0]
+    try:
+        r = os.path.realpath(ref)
+        return all(os.path.realpath(p) == r for p in topology_paths)
+    except OSError:
+        return False
+
+
 def is_plumed_file(file_path: str) -> bool:
     """True if file starts with '#! FIELDS' (cf. reference colvars.py:234-252)."""
     with open(file_path) as fh:

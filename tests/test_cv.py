@@ -680,6 +680,67 @@ def test_linear_streaming_matches_in_memory(
         )
 
 
+def test_streaming_with_identity_topology(htica_two_file_dataset, tmp_path):
+    """streaming=true with a single topology equal to the reference must
+    STREAM, not silently fall back: translation is identity there (round-5
+    fix; the tool passes train_topologies for every real trajectory, so the
+    old any-topology fallback disabled streaming on exactly the
+    single-system >RAM runs it was built for)."""
+    from deep_cartograph_tpu.cv import cv_calculators_map
+    from deep_cartograph_tpu.io.colvars import clear_memory_cache
+    from tests.fixtures import make_ca_coords, write_ca_pdb
+
+    ds = htica_two_file_dataset
+    pdb = os.path.join(str(tmp_path), "top.pdb")
+    write_ca_pdb(pdb, make_ca_coords(8, 1, seed=0)[0])
+
+    clear_memory_cache()
+    st = cv_calculators_map["tica"](
+        configuration=dict(base_config(lag_time=2), streaming=True),
+        output_path=os.path.join(str(tmp_path), "stream"),
+    )
+    st.load_training_data(
+        ds["paths"],
+        train_topology_paths=[pdb, pdb],
+        ref_topology_path=pdb,
+        features_list=ds["labels"],
+    )
+    assert st._streaming and st.training_data is None
+    assert st.ref_topology_path == pdb  # PLUMED export still has its ref
+    proj_st = st.run()
+
+    mem = cv_calculators_map["tica"](
+        configuration=base_config(lag_time=2),
+        output_path=os.path.join(str(tmp_path), "mem"),
+    )
+    mem.load_training_data(
+        ds["paths"],
+        train_topology_paths=[pdb, pdb],
+        ref_topology_path=pdb,
+        features_list=ds["labels"],
+    )
+    assert not mem._streaming
+    proj_mem = mem.run()
+    np.testing.assert_allclose(
+        np.abs(proj_st.to_numpy()), np.abs(proj_mem.to_numpy()), atol=2e-3
+    )
+
+    # distinct topologies: real translation, streaming correctly refuses
+    pdb2 = os.path.join(str(tmp_path), "top2.pdb")
+    write_ca_pdb(pdb2, make_ca_coords(8, 1, seed=1)[0])
+    fb = cv_calculators_map["tica"](
+        configuration=dict(base_config(lag_time=2), streaming=True),
+        output_path=os.path.join(str(tmp_path), "fallback"),
+    )
+    fb.load_training_data(
+        ds["paths"],
+        train_topology_paths=[pdb, pdb2],
+        ref_topology_path=pdb,
+        features_list=ds["labels"],
+    )
+    assert not fb._streaming
+
+
 def test_htica_streaming_sharded_over_mesh(tmp_path, rng):
     """On a multi-device mesh, the tool's streaming HTICA shards the
     subspace axis automatically (8 subspaces over 8 CPU devices here) and
