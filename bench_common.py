@@ -86,7 +86,9 @@ def _read_holder():
         return "?", None
     age = None
     m = re.search(r"\bhb (\d+(?:\.\d+)?)", text)
-    if m:
+    # reject corrupted/absurd timestamps (> 1 day in the future) instead of
+    # letting them read as a forever-fresh heartbeat
+    if m and float(m.group(1)) <= time.time() + 86400:
         age = max(time.time() - float(m.group(1)), 0.0)
     else:
         try:  # legacy format: fall back to the file mtime
@@ -97,9 +99,13 @@ def _read_holder():
 
 
 def _write_holder(fd: int, tag: str) -> None:
-    os.ftruncate(fd, 0)
-    os.lseek(fd, 0, os.SEEK_SET)
-    os.write(fd, f"pid {os.getpid()} ({tag}) hb {time.time():.0f}".encode())
+    # pwrite at offset 0 THEN truncate to the new length: no empty-file
+    # window, and a reader can never see old-tail bytes appended to the new
+    # text (a merged `hb <ts><ts>` was observed in round 5 — it parses as an
+    # absurd future timestamp and silently defeats stale-holder detection).
+    data = f"pid {os.getpid()} ({tag}) hb {time.time():.0f}\n".encode()
+    os.pwrite(fd, data, 0)
+    os.ftruncate(fd, len(data))
 
 
 def refresh_chip_heartbeat() -> None:

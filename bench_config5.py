@@ -241,25 +241,79 @@ def main() -> None:
     # upload onto a virgin device succeeds in seconds. Program dispatches
     # are unaffected (executables reuse their own buffers), so all
     # streaming below is safe; only fresh big allocations must precede the
-    # first program. One host-side array -> ONE device_put.
+    # first program.
+    #
+    # The one-shot 384 MB device_put itself is additionally FLAKY through
+    # the tunnel (r05: repeated RESOURCE_EXHAUSTED in fresh processes while
+    # bare same-size probes succeed), so residency has two shapes:
+    #   oneshot — one host array -> ONE device_put (fastest when it works);
+    #   chunked — ~32 MB slices device_put FIRST (the small-transfer
+    #             pattern every streaming stage uses all round without
+    #             failures), then one concatenate program assembles the
+    #             resident copy — uploads stay ahead of the first program.
+    # CFG5_UPLOAD=auto (default) tries oneshot first and falls back to
+    # chunked in-process and on re-exec attempts >= 2.
     t0 = time.time()
+    upload_mode = os.environ.get("CFG5_UPLOAD", "auto")
+    attempt_no = int(os.environ.get("CFG5_ATTEMPT", "1"))
 
-    def _load_coords():
+    def _host_coords():
         if SOURCE == "disk":
-            host = np.concatenate(
+            return np.concatenate(
                 list(iter_frame_chunks(dcd_path, BLOCK, pdb_path))
             ).astype(np.float32, copy=False)
-        else:
-            host = np.concatenate(
-                [
-                    np.asarray(gen_coords(jnp.arange(s, s + BLOCK)))
-                    for s in range(0, N_FRAMES, BLOCK)
-                ]
-            )
+        return np.concatenate(
+            [
+                np.asarray(gen_coords(jnp.arange(s, s + BLOCK)))
+                for s in range(0, N_FRAMES, BLOCK)
+            ]
+        )
+
+    def _put_oneshot(host):
         buf = jax.device_put(host)
         # sync — surface any async alloc failure HERE, not mid-pipeline
         float(jnp.ravel(buf)[0])
         return buf
+
+    def _put_chunked(host):
+        n, a, d = host.shape
+        frames_per = min(n, max(1, (32 << 20) // (a * d * 4)))
+        # ALL uploads precede the first device program (the allocator rule
+        # above): ~32 MB parts land as separate buffers, then ONE
+        # concatenate program assembles the resident copy. Peak 2x coords
+        # (parts + output) — donation would make it 1x but this remote AOT
+        # compiler does not honor donation (measured, stage-3 note below).
+        parts = [
+            jax.device_put(host[s : s + frames_per])
+            for s in range(0, n, frames_per)
+        ]
+        buf = jax.jit(
+            lambda *xs: jnp.concatenate(xs, 0),
+            donate_argnums=tuple(range(len(parts))),
+        )(*parts)
+        del parts
+        float(jnp.ravel(buf)[0])
+        return buf
+
+    def _load_coords():
+        host = _host_coords()
+        if upload_mode == "chunked" or (
+            upload_mode == "auto" and attempt_no >= 2
+        ):
+            _log(f"coords residency: chunked upload (attempt {attempt_no})")
+            return _put_chunked(host)
+        try:
+            return _put_oneshot(host)
+        except Exception as exc:
+            if upload_mode != "auto" or "RESOURCE_EXHAUSTED" not in str(exc):
+                raise
+            import traceback as _tb
+
+            _tb.clear_frames(exc.__traceback__)
+            del exc
+            _log("coords residency: oneshot RESOURCE_EXHAUSTED; "
+                 "falling back to chunked upload")
+            return _put_chunked(host)
 
     coords_buf = _retry_re(_load_coords, "coords residency")
     stages["deep_input_coords_s"] = round(time.time() - t0, 2)

@@ -215,3 +215,40 @@ def test_run_with_recovery_prints_diagnostic_json_on_busy_chip(tmp_path):
     finally:
         hold.kill()
         hold.wait()
+
+
+def test_corrupted_future_heartbeat_reads_as_unknown(tmp_path):
+    """A merged/absurd `hb` timestamp (observed in round 5: two stamps
+    concatenated) must NOT read as a forever-fresh heartbeat; the parser
+    falls back to the file mtime so stale detection still works."""
+    import bench_common
+
+    lock = tmp_path / "chip.lock"
+    lock.write_text("pid 999 (config5) hb 17870397621787039787")
+    old = time.time() - 5000
+    os.utime(lock, (old, old))
+    orig = bench_common.CHIP_LOCK_PATH
+    bench_common.CHIP_LOCK_PATH = str(lock)
+    try:
+        text, age = bench_common._read_holder()
+        assert "pid 999" in text
+        # mtime fallback: ~5000s old, nowhere near the bogus stamp's 0s
+        assert age is not None and age > 4000
+    finally:
+        bench_common.CHIP_LOCK_PATH = orig
+
+
+def test_write_holder_truncates_previous_longer_text(tmp_path):
+    """pwrite+truncate: a shorter rewrite leaves no tail bytes behind."""
+    import bench_common
+
+    lock = tmp_path / "chip.lock"
+    fd = os.open(str(lock), os.O_RDWR | os.O_CREAT)
+    try:
+        os.pwrite(fd, b"x" * 200, 0)
+        bench_common._write_holder(fd, "t")
+        text = lock.read_text()
+        assert text.startswith(f"pid {os.getpid()} (t) hb ")
+        assert "x" not in text
+    finally:
+        os.close(fd)
