@@ -268,7 +268,26 @@ def run_with_recovery(
     except Exception as exc:
         err = str(exc)
         transient = any(m in err for m in TRANSIENT_MARKERS)
-        if not transient or attempt >= max_attempts - 1:
+        if transient and attempt >= max_attempts - 1:
+            # Terminal transient failure: the bench output contract is ONE
+            # JSON line — print a self-diagnosing line and exit nonzero
+            # instead of dying with a bare traceback.
+            print(
+                json.dumps(
+                    {
+                        "metric": f"{tag}_failed",
+                        "value": 0,
+                        "unit": "none",
+                        "vs_baseline": 0,
+                        "error": f"transient failure persisted through "
+                                 f"{max_attempts} attempts: {err[:300]}",
+                    }
+                ),
+                flush=True,
+            )
+            traceback.print_exc()
+            sys.exit(4)
+        if not transient:
             raise
         if "RESOURCE_EXHAUSTED" not in err:
             print(

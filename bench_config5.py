@@ -226,8 +226,17 @@ def main() -> None:
         )
 
         def block_iter():
-            for block in iter_frame_chunks(dcd_path, BLOCK, pdb_path):
-                yield evaluator.eval_raw(jnp.asarray(block))
+            # Backpressure every few blocks: async dispatch lets uploads
+            # run unboundedly ahead of compute, and too many in-flight
+            # transfers exhaust the tunnel staging pool (see _put_chunked).
+            # A 4-byte host read every 4th block caps in-flight uploads at
+            # ~4 blocks while keeping decode/upload/compute overlapped.
+            for k, block in enumerate(iter_frame_chunks(dcd_path, BLOCK,
+                                                        pdb_path)):
+                dev_block = jnp.asarray(block)
+                if k % 4 == 3:
+                    float(jnp.ravel(dev_block)[0])
+                yield evaluator.eval_raw(dev_block)
 
     else:
         block_iter = device_block_iter
@@ -277,16 +286,23 @@ def main() -> None:
 
     def _put_chunked(host):
         n, a, d = host.shape
-        frames_per = min(n, max(1, (32 << 20) // (a * d * 4)))
+        frames_per = min(n, max(1, (16 << 20) // (a * d * 4)))
         # ALL uploads precede the first device program (the allocator rule
-        # above): ~32 MB parts land as separate buffers, then ONE
-        # concatenate program assembles the resident copy. Peak 2x coords
-        # (parts + output) — donation would make it 1x but this remote AOT
-        # compiler does not honor donation (measured, stage-3 note below).
-        parts = [
-            jax.device_put(host[s : s + frames_per])
-            for s in range(0, n, frames_per)
-        ]
+        # above), and each transfer is SERIALIZED with a 4-byte host read:
+        # device_put is async on this backend, so an unsynced loop fires
+        # every part's transfer concurrently — the whole coords buffer in
+        # flight at once exhausts the tunnel's staging pool (measured r05:
+        # the unsynced 12x32 MB loop dies RESOURCE_EXHAUSTED on a chip that
+        # takes a lone synced 32 MB put fine). One part in flight at a time
+        # is the shape the tunnel handles all round. Then ONE concatenate
+        # program assembles the resident copy — peak 2x coords (parts +
+        # output; this remote AOT compiler does not honor donation,
+        # stage-3 note below).
+        parts = []
+        for s in range(0, n, frames_per):
+            p = jax.device_put(host[s : s + frames_per])
+            float(jnp.ravel(p)[0])  # complete THIS transfer before the next
+            parts.append(p)
         buf = jax.jit(
             lambda *xs: jnp.concatenate(xs, 0),
             donate_argnums=tuple(range(len(parts))),

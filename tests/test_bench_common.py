@@ -252,3 +252,25 @@ def test_write_holder_truncates_previous_longer_text(tmp_path):
         assert "x" not in text
     finally:
         os.close(fd)
+
+
+def test_run_with_recovery_terminal_transient_prints_json(tmp_path):
+    """Exhausted re-exec attempts on a transient error must still honor
+    the one-JSON-line bench contract (exit 4, metric <tag>_failed)."""
+    out = _run(f"""
+        import sys
+        sys.path.insert(0, {REPO!r})
+        import bench_common
+        bench_common.CHIP_LOCK_PATH = {str(tmp_path / 'chip.lock')!r}
+
+        def boom():
+            raise RuntimeError("RESOURCE_EXHAUSTED: synthetic")
+
+        bench_common.run_with_recovery(
+            boom, "unused.py", "T_ATTEMPT", max_attempts=1, tag="t")
+    """)
+    assert out.returncode == 4, (out.returncode, out.stdout, out.stderr)
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line["metric"] == "t_failed"
+    assert line["vs_baseline"] == 0
+    assert "RESOURCE_EXHAUSTED" in line["error"]
