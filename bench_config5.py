@@ -235,7 +235,7 @@ def main() -> None:
                                                         pdb_path)):
                 dev_block = jnp.asarray(block)
                 if k % 4 == 3:
-                    float(jnp.ravel(dev_block)[0])
+                    float(dev_block[0, 0, 0])
                 yield evaluator.eval_raw(dev_block)
 
     else:
@@ -281,7 +281,8 @@ def main() -> None:
     def _put_oneshot(host):
         buf = jax.device_put(host)
         # sync — surface any async alloc failure HERE, not mid-pipeline
-        float(jnp.ravel(buf)[0])
+        # (slice sync: ravel would dispatch a full-size copy program)
+        float(buf[0, 0, 0])
         return buf
 
     def _put_chunked(host):
@@ -301,14 +302,14 @@ def main() -> None:
         parts = []
         for s in range(0, n, frames_per):
             p = jax.device_put(host[s : s + frames_per])
-            float(jnp.ravel(p)[0])  # complete THIS transfer before the next
+            float(p[0, 0, 0])  # complete THIS transfer before the next
             parts.append(p)
         buf = jax.jit(
             lambda *xs: jnp.concatenate(xs, 0),
             donate_argnums=tuple(range(len(parts))),
         )(*parts)
         del parts
-        float(jnp.ravel(buf)[0])
+        float(buf[0, 0, 0])
         return buf
 
     def _load_coords():
@@ -338,7 +339,7 @@ def main() -> None:
     # Device program compile (first call through the shipped evaluator).
     t0 = time.time()
     first = feat_block(0)
-    float(jnp.ravel(first)[0])
+    float(first[0, 0])
     stages["featurize_compile_s"] = round(time.time() - t0, 2)
     _log(f"featurize compile+first block {stages['featurize_compile_s']}s")
     del first  # (BLOCK, 50k) f32 = 500 MB — do not keep it resident
@@ -727,12 +728,27 @@ def main() -> None:
             ),
         },
     }
-    print(json.dumps(result_json))
+    # Artifact FIRST (and a /tmp sidecar), then the stdout contract line,
+    # all flushed: a native teardown crash after the pipeline must not be
+    # able to eat the results (observed r05: silent death after the last
+    # stage log, no Python traceback).
+    payload = json.dumps(result_json, indent=1)
+    with open("/tmp/BENCH_config5.sidecar.json", "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
     with open("BENCH_config5.json", "w") as fh:
-        json.dump(result_json, fh, indent=1)
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    print(json.dumps(result_json), flush=True)
+    _log("artifact written: BENCH_config5.json")
 
 
 if __name__ == "__main__":
+    import faulthandler
+
+    faulthandler.enable()  # a native crash must leave a stack on stderr
     from bench_common import run_with_recovery
 
     run_with_recovery(
