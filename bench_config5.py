@@ -50,6 +50,20 @@ DEEP_K = int(os.environ.get("CFG5_DEEP_K", 0))
 # "disk": real DCD on disk, every pass decode+upload-inclusive (default).
 # "device": frames generated on device (no host leg), for the comparison.
 SOURCE = os.environ.get("CFG5_SOURCE", "disk")
+# Coords-residency shape under SOURCE=disk:
+#   fused (default)  — residency assembles DURING the first streamed pass
+#                      from the SAME block uploads the moments screen
+#                      already pays (dynamic_update_slice per block); the
+#                      standalone 368 MB upload leg disappears, and later
+#                      passes (entropy, chunked HTICA, training, cluster)
+#                      featurize from the resident buffer. Decode+upload
+#                      is still paid exactly once, inside the moments row.
+#   standalone       — explicit upload first (CFG5_UPLOAD oneshot/chunked/
+#                      auto), every filter pass re-decodes the DCD: the
+#                      upper-bound tool path where nothing is cached.
+RESIDENCY = os.environ.get(
+    "CFG5_RESIDENCY", "fused" if SOURCE == "disk" else "standalone"
+)
 # HTICA covariance passes: "eager" re-streams blocks through the block
 # iterator (decode+upload per pass under SOURCE=disk); "chunked" featurizes
 # the RESIDENT coords buffer inside K-block fori_loop dispatches
@@ -332,9 +346,15 @@ def main() -> None:
                  "falling back to chunked upload")
             return _put_chunked(host)
 
-    coords_buf = _retry_re(_load_coords, "coords residency")
-    stages["deep_input_coords_s"] = round(time.time() - t0, 2)
-    _hbm("coords_resident")
+    if RESIDENCY == "fused" and SOURCE == "disk":
+        # Residency rides the moments pass below: no standalone upload leg.
+        coords_buf = None
+        stages["deep_input_coords_s"] = 0.0
+        _log("coords residency: fused into the moments pass")
+    else:
+        coords_buf = _retry_re(_load_coords, "coords residency")
+        stages["deep_input_coords_s"] = round(time.time() - t0, 2)
+        _hbm("coords_resident")
 
     # Device program compile (first call through the shipped evaluator).
     t0 = time.time()
@@ -358,6 +378,34 @@ def main() -> None:
             jnp.maximum(mx, jnp.max(x, 0)),
         )
 
+    # Fused residency: the moments pass assembles the resident coords
+    # buffer from the SAME block uploads it already pays — one
+    # dynamic_update_slice program per block (the incremental-assembly
+    # shape probe_concat.py validates on this tunnel). Decode+upload is
+    # paid once, here; every later stage featurizes from residency.
+    if coords_buf is None:
+        upd = jax.jit(
+            lambda b, p, st: jax.lax.dynamic_update_slice(b, p, (st, 0, 0)),
+            donate_argnums=0,
+        )
+        asm_buf = jax.jit(
+            lambda: jnp.zeros((N_FRAMES, N_ATOMS, 3), jnp.float32)
+        )()
+
+        def moments_iter():
+            nonlocal asm_buf
+            for k, block in enumerate(
+                iter_frame_chunks(dcd_path, BLOCK, pdb_path)
+            ):
+                dev_block = jnp.asarray(block)
+                if k % 4 == 3:
+                    float(dev_block[0, 0, 0])
+                asm_buf = upd(asm_buf, dev_block, jnp.int32(k * BLOCK))
+                yield evaluator.eval_raw(dev_block)
+
+    else:
+        moments_iter = block_iter
+
     t0 = time.time()
     state = (
         jnp.zeros(N_FEATURES, jnp.float32),
@@ -365,9 +413,13 @@ def main() -> None:
         jnp.full(N_FEATURES, np.inf, jnp.float32),
         jnp.full(N_FEATURES, -np.inf, jnp.float32),
     )
-    for blk in block_iter():
+    for blk in moments_iter():
         state = moments_acc(state, blk)
     del blk
+    if coords_buf is None:
+        coords_buf = asm_buf
+        float(coords_buf[0, 0, 0])
+        _hbm("coords_resident_fused")
     s, s2, mn, mx = state
     mean = s / N_FRAMES
     std = jnp.sqrt(jnp.maximum(s2 / N_FRAMES - mean * mean, 0.0))
@@ -376,8 +428,7 @@ def main() -> None:
     stages["filter_pass_moments_s"] = round(time.time() - t0, 2)
     _hbm("after_moments")
 
-    @jax.jit
-    def entropy_counts_acc(counts, x, mn, mx):
+    def _entropy_update(counts, x, mn, mx):
         # counts: (100, F). Bin each value, accumulate per-bin counts with
         # a scan over bins (scatter-free; matches stats/descriptors).
         span = jnp.maximum(mx - mn, 1e-12)
@@ -389,11 +440,41 @@ def main() -> None:
         counts, _ = jax.lax.scan(body, counts, jnp.arange(100))
         return counts
 
+    entropy_counts_acc = jax.jit(_entropy_update)
+
+    # With fused residency the WHOLE entropy pass is ONE device program:
+    # an in-program fori_loop slices the resident coords, featurizes, and
+    # bins every block (the same closure-free composition as
+    # StreamingHTICA.fit_chunked — coords/plan ride as traced arguments).
+    # A per-block host loop costs a tunnel round trip per dispatch
+    # (measured: 40 resident-featurize dispatches ~= 13 s of pure dispatch
+    # overhead vs ~2 s in-program); standalone mode re-decodes the DCD
+    # like a cache-less tool run, where upload time hides dispatch time.
     t0 = time.time()
-    counts = jnp.zeros((100, N_FEATURES), jnp.float32)
-    for blk in block_iter():
-        counts = entropy_counts_acc(counts, blk, mn, mx)
-    del blk
+    if RESIDENCY == "fused" and SOURCE == "disk":
+        feat_fn_r, plan_args_r = evaluator.device_fn_args()
+        n_blk = N_FRAMES // BLOCK
+
+        @jax.jit
+        def entropy_pass_resident(c, mn_, mx_, *plan_a):
+            def body(k, counts_):
+                x = feat_fn_r(
+                    jax.lax.dynamic_slice_in_dim(c, k * BLOCK, BLOCK, 0),
+                    *plan_a,
+                )
+                return _entropy_update(counts_, x, mn_, mx_)
+
+            return jax.lax.fori_loop(
+                0, n_blk, body,
+                jnp.zeros((100, N_FEATURES), jnp.float32),
+            )
+
+        counts = entropy_pass_resident(coords_buf, mn, mx, *plan_args_r)
+    else:
+        counts = jnp.zeros((100, N_FEATURES), jnp.float32)
+        for blk in block_iter():
+            counts = entropy_counts_acc(counts, blk, mn, mx)
+        del blk
     p = counts / N_FRAMES
     entropy = np.asarray(-jnp.sum(jnp.where(p > 0, p * jnp.log2(p), 0.0), 0))
     del counts, p, mn, mx
@@ -671,7 +752,13 @@ def main() -> None:
         "detail": {
             "device": str(dev),
             "source": SOURCE,
+            "residency": RESIDENCY,
             "decode_upload_inclusive": SOURCE == "disk",
+            # fused: later passes featurize the resident coords; the DCD is
+            # decoded+uploaded exactly once, inside filter_pass_moments_s
+            "entropy_decode_inclusive": not (
+                RESIDENCY == "fused" and SOURCE == "disk"
+            ),
             "n_frames": N_FRAMES,
             "n_features": N_FEATURES,
             "plan_compile_host_s": round(plan_host_s, 2),
@@ -713,10 +800,15 @@ def main() -> None:
                 "are rematerialized per batch inside the training step, "
                 "zero-copy lagged batching from one device buffer), device "
                 "KMeans + validity scores. With "
-                "source=disk every pass decodes a real on-disk DCD via the "
-                "shipped prefetching reader and pays host->device upload; "
-                "moments_pass_device_resident_s records the same pass "
-                "without that leg. cold_total_s adds the featurize compile "
+                "source=disk the on-disk DCD is decoded via the shipped "
+                "prefetching reader and pays host->device upload — once "
+                "under residency=fused (the moments pass assembles the "
+                "resident coords from its own block uploads; later passes "
+                "featurize residency), per pass under residency=standalone; "
+                "the eager-HTICA diagnostic re-streams from disk either "
+                "way, and moments_pass_device_resident_s records the "
+                "moments pass without any host leg. "
+                "cold_total_s adds the featurize compile "
                 "and host plan compile to the warm pipeline total. "
                 "htica_mode=both times the eager re-stream AND the "
                 "fit_chunked K-block dispatch on the resident coords "
