@@ -121,6 +121,15 @@ def _retry_re(fn, what: str, tries: int = 2):
 
 
 def main() -> None:
+    import logging
+
+    # Surface the framework's stage diagnostics (e.g. StreamingHTICA's
+    # pull/solve split) on stderr; the stdout contract stays ONE JSON line.
+    logging.basicConfig(
+        level=logging.INFO, stream=sys.stderr,
+        format="[config5:%(name)s] %(message)s",
+    )
+
     import jax
     import jax.numpy as jnp
 

@@ -268,3 +268,44 @@ def test_fit_chunked_rejects_uneven_chunking(rng):
             lambda s: jax.lax.dynamic_slice_in_dim(data, s, 100, 0),
             600, 100, blocks_per_dispatch=4,
         )
+
+
+def test_host_scipy_solver_matches_device_path():
+    """The host top-k LAPACK path (engaged above _EIGH_HOST_DIM_THRESHOLD)
+    must agree with the jitted whitening+eigh device path: same descending
+    eigenvalues and the same eigenvectors up to column sign, normalized in
+    the regularized-C0 metric."""
+    import jax.numpy as jnp
+
+    from deep_cartograph_tpu.cv.htica_stream import (
+        _EIGH_HOST_DIM_THRESHOLD,
+        _batched_tica,
+        _run_batched_tica,
+    )
+
+    rng = np.random.default_rng(11)
+    n_sub, d, k, reg = 3, _EIGH_HOST_DIM_THRESHOLD + 16, 2, 1e-6
+    a = rng.standard_normal((n_sub, d, d)).astype(np.float32)
+    c0 = np.einsum("sij,skj->sik", a, a) / d + np.eye(d, dtype=np.float32)
+    sym = rng.standard_normal((n_sub, d, d)).astype(np.float32)
+    ctau = 0.05 * (sym + sym.transpose(0, 2, 1))
+
+    w_host, v_host = _run_batched_tica(jnp.asarray(c0), jnp.asarray(ctau),
+                                       reg, k)
+    w_dev, v_dev = _batched_tica(jnp.asarray(c0), jnp.asarray(ctau), reg, k)
+    w_host, v_host = np.asarray(w_host), np.asarray(v_host)
+    w_dev, v_dev = np.asarray(w_dev), np.asarray(v_dev)
+
+    assert w_host.shape == (n_sub, k) and v_host.shape == (n_sub, d, k)
+    assert (np.diff(w_host, axis=1) <= 1e-6).all()  # descending
+    np.testing.assert_allclose(w_host, w_dev, atol=2e-3)
+    for s in range(n_sub):
+        for c in range(k):
+            agree = np.abs(v_host[s, :, c] - v_dev[s, :, c]).max()
+            flip = np.abs(v_host[s, :, c] + v_dev[s, :, c]).max()
+            assert min(agree, flip) < 5e-2, (s, c, agree, flip)
+    # metric normalization: v^T (C0 + reg I) v == 1
+    for s in range(n_sub):
+        b_reg = c0[s] + reg * np.eye(d, dtype=np.float32)
+        norms = np.einsum("dk,de,ek->k", v_host[s], b_reg, v_host[s])
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
