@@ -619,13 +619,40 @@ def main() -> None:
     pa_idx = jnp.asarray(kept_pairs[:, 0].astype(np.int32))
     pb_idx = jnp.asarray(kept_pairs[:, 1].astype(np.int32))
 
+    remat_mode = os.environ.get("CFG5_REMAT", "selector")
+
     def featurize_norm(c):
         """(B, A, 3) coords -> (B, K) normalized kept features, jit-safe.
         Same math as the PlanEvaluator distance segment
-        (geom/kernels._evaluate_plan_chunk), restricted to kept pairs."""
-        pa = jnp.take(c, pa_idx, axis=1)
-        pb = jnp.take(c, pb_idx, axis=1)
-        d = jnp.sqrt(jnp.sum((pa - pb) ** 2, -1)) * 0.1  # Angstrom -> nm
+        (geom/kernels._evaluate_plan_chunk), restricted to kept pairs.
+
+        Default formulation mirrors the evaluator's auto choice at this
+        shape (dense pairs over 320 atoms): the +1/-1 selector contraction
+        on the MXU. The selector is built INSIDE the program from the
+        small index constants (a closed-over (K, A) f32 array would be
+        baked into the lowered module as a 32 MB constant — the
+        remote-compile constant rule, cf. _evaluate_plan_chunk). Measured
+        inside the one-dispatch 5-epoch training program at config-5
+        shape: selector 2.6-2.7 s warm vs gather 3.3-3.4 s, and its
+        persistent-cache load is 3x faster (6 s vs 18 s process-cold)."""
+        if remat_mode == "selector":
+            sel_t = (
+                jax.nn.one_hot(pa_idx, N_ATOMS, dtype=jnp.float32)
+                - jax.nn.one_hot(pb_idx, N_ATOMS, dtype=jnp.float32)
+            ).T  # (A, K)
+            d2 = None
+            for axis in range(3):
+                t = jnp.matmul(
+                    c[..., axis], sel_t,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                d2 = t * t if d2 is None else d2 + t * t
+            d = jnp.sqrt(d2) * 0.1  # Angstrom -> nm
+        else:
+            pa = jnp.take(c, pa_idx, axis=1)
+            pb = jnp.take(c, pb_idx, axis=1)
+            d = jnp.sqrt(jnp.sum((pa - pb) ** 2, -1)) * 0.1
         return (d - mu_k) / sd_k
 
     # Parity probe: the rematerialized features must match the shipped
@@ -690,17 +717,32 @@ def main() -> None:
     train_idx = np.arange(n_pairs, dtype=np.int32)[None]
     valid_idx = np.arange(n_pairs - BATCH, n_pairs, dtype=np.int32)[None]
     params_stack = jax.tree.map(lambda a: a[None], params)
+
+    def _fit():
+        return _retry_re(
+            lambda: trainer.fit_ensemble(
+                params_stack, full, train_idx, valid_idx, [0],
+                index_offsets={"data_lag": LAG},
+            )[0],
+            "deep-TICA training",
+        )
+
+    # Cold/warm split, same treatment as the chunked-HTICA stage: the first
+    # fit pays the one-time training-program build (a fresh compile, or
+    # ~15 s of executable load through this backend even on a persistent-
+    # cache HIT); the second fit times the program itself (~2.6 s for 5
+    # epochs). Warm counts toward the pipeline total, cold is recorded —
+    # in production the executable is built once and reused across CVs,
+    # seeds, and restarts.
     t0 = time.time()
-    result = _retry_re(
-        lambda: trainer.fit_ensemble(
-            params_stack, full, train_idx, valid_idx, [0],
-            index_offsets={"data_lag": LAG},
-        )[0],
-        "deep-TICA training",
-    )
+    result = _fit()
+    stages["deep_tica_train_cold_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    result = _fit()
     deep_loss = float(result.score)
     stages["deep_tica_train_s"] = round(time.time() - t0, 2)
-    _log(f"deep-TICA {EPOCHS} epochs {stages['deep_tica_train_s']}s "
+    _log(f"deep-TICA {EPOCHS} epochs {stages['deep_tica_train_s']}s warm / "
+         f"{stages['deep_tica_train_cold_s']}s cold "
          f"(loss {deep_loss:.4f})")
     _hbm("after_train")
 
@@ -735,9 +777,31 @@ def main() -> None:
         # counts toward the pipeline total
         "htica_fit_eager_s", "htica_fit_chunked_s",
         "htica_fit_chunked_cold_s",
+        # one-time training-program build (compile or cache load); the
+        # warm deep_tica_train_s counts, the build lands in cold_total
+        "deep_tica_train_cold_s",
     )
     total = sum(v for k, v in stages.items() if k not in excluded)
-    cold_total = total + stages.get("featurize_compile_s", 0.0) + plan_host_s
+    # cold_total = a first-ever run: warm total + every one-time build
+    # (featurize compile, host plan compile, training-program build, and
+    # the chunked-HTICA program build when chunked is the used mode).
+    cold_total = (
+        total + stages.get("featurize_compile_s", 0.0) + plan_host_s
+        + max(
+            stages.get("deep_tica_train_cold_s", 0.0)
+            - stages.get("deep_tica_train_s", 0.0),
+            0.0,
+        )
+        + (
+            max(
+                stages.get("htica_fit_chunked_cold_s", 0.0)
+                - stages.get("htica_fit_chunked_s", 0.0),
+                0.0,
+            )
+            if htica_mode_used == "chunked"
+            else 0.0
+        )
+    )
     mem = {}
     try:
         st = dev.memory_stats() or {}
@@ -787,6 +851,7 @@ def main() -> None:
             "n_filtered_std_screen": n_filtered,
             "deep_tica_input_features": K,
             "deep_tica_remat_parity_maxerr": remat_err,
+            "deep_tica_remat_mode": remat_mode,
             "deep_tica_virtual_input_gb": round(N_FRAMES * K * 4 / 2**30, 2),
             "deep_tica_resident_coords_mb": round(
                 N_FRAMES * N_ATOMS * 3 * 4 / 2**20, 1
@@ -817,8 +882,13 @@ def main() -> None:
                 "the eager-HTICA diagnostic re-streams from disk either "
                 "way, and moments_pass_device_resident_s records the "
                 "moments pass without any host leg. "
-                "cold_total_s adds the featurize compile "
-                "and host plan compile to the warm pipeline total. "
+                "cold_total_s adds every one-time build to the warm "
+                "pipeline total: featurize compile, host plan compile, "
+                "the training-program build (deep_tica_train_cold_s - "
+                "deep_tica_train_s; a compile, or ~15 s of executable "
+                "load through this backend even on a persistent-cache "
+                "hit), and the chunked-HTICA program build when chunked "
+                "is the used mode. "
                 "htica_mode=both times the eager re-stream AND the "
                 "fit_chunked K-block dispatch on the resident coords "
                 "(cold incl. its one-time program compile + warm), asserts "

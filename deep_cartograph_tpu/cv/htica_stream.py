@@ -147,46 +147,117 @@ def _batched_tica(c0, ctau, reg: float, dim: int):
 _EIGH_HOST_DIM_THRESHOLD = 256
 
 
-def _scipy_batched_tica(c0: np.ndarray, ctau: np.ndarray, reg: float,
-                        dim: int):
-    """Host LAPACK top-k generalized eigensolve, matching _batched_tica's
-    contract exactly: descending eigenvalues, eigenvectors normalized in
-    the regularized-C0 metric (v^T (C0 + reg I) v = 1, LAPACK's sygvx
-    normalization == generalized_eigh's Cholesky whitening)."""
+# device tril gather indices, cached per matrix dim (passed as jit
+# ARGUMENTS — embedding them as program constants would bloat the lowered
+# module by MBs, cf. geom/kernels._evaluate_plan_chunk's constant rule)
+_TRIL_IDX_CACHE: dict = {}
+
+
+def _tril_device_indices(d: int):
+    if d not in _TRIL_IDX_CACHE:
+        rows, cols = np.tril_indices(d)
+        _TRIL_IDX_CACHE[d] = (
+            jax.device_put(rows.astype(np.int32)),
+            jax.device_put(cols.astype(np.int32)),
+        )
+    return _TRIL_IDX_CACHE[d]
+
+
+@jax.jit
+def _pack_tril_pair(c0, ctau, rows, cols):
+    """(S, D, D) x2 symmetric -> (S, 2, D(D+1)/2) packed lower triangles.
+    Both covariances are symmetric, so the device->host transfer for the
+    host eigensolve only needs HALF the matrix — at config-5 scale that
+    is 200 MB instead of 400 MB over the tunnel."""
+    return jnp.stack([c0[:, rows, cols], ctau[:, rows, cols]], axis=1)
+
+
+def _scipy_batched_tica_packed(packed: np.ndarray, d: int, reg: float,
+                               dim: int):
+    """Host LAPACK top-k generalized eigensolve from packed lower
+    triangles, matching _batched_tica's contract exactly: descending
+    eigenvalues, eigenvectors normalized in the regularized-C0 metric
+    (v^T (C0 + reg I) v = 1, LAPACK's sygvx normalization ==
+    generalized_eigh's Cholesky whitening). sygvx with uplo='L' never
+    reads the upper triangles, so only the tril is reconstructed."""
     import scipy.linalg as sla
 
-    n_sub, d = c0.shape[0], c0.shape[-1]
+    n_sub = packed.shape[0]
     k = min(dim, d)
-    eye = reg * np.eye(d, dtype=c0.dtype)
-    ws = np.empty((n_sub, k), c0.dtype)
-    vs = np.empty((n_sub, d, k), c0.dtype)
+    rows, cols = np.tril_indices(d)
+    diag = np.arange(d)
+    a = np.zeros((d, d), packed.dtype)
+    b = np.zeros((d, d), packed.dtype)
+    ws = np.empty((n_sub, k), packed.dtype)
+    vs = np.empty((n_sub, d, k), packed.dtype)
     for s in range(n_sub):
+        a[rows, cols] = packed[s, 1]  # ctau
+        b[rows, cols] = packed[s, 0]  # c0
+        b[diag, diag] += reg
         w, v = sla.eigh(
-            ctau[s],
-            c0[s] + eye,
+            a, b, lower=True,
             subset_by_index=[d - k, d - 1],
             check_finite=False,
-            overwrite_b=True,
         )
         ws[s] = w[::-1]  # LAPACK ascending -> descending
         vs[s] = v[:, ::-1]
     return ws, vs
 
 
+def host_topk_eigh(cov: np.ndarray, k: int):
+    """Top-k (eigenvalues ascending, LAPACK order) of ONE symmetric matrix
+    on the host via the subset driver (syevr) — the standard-eigenproblem
+    sibling of the generalized path above, for callers (e.g. PCA) whose
+    matrix dim exceeds _EIGH_HOST_DIM_THRESHOLD. Returns (w, v) with
+    w ascending, v columns matching w."""
+    import scipy.linalg as sla
+
+    d = cov.shape[-1]
+    k = min(k, d)
+    return sla.eigh(
+        np.asarray(cov), subset_by_index=[d - k, d - 1], check_finite=False
+    )
+
+
 def _run_batched_tica(c0, ctau, reg: float, dim: int):
     d = c0.shape[-1]
     if d <= _EIGH_HOST_DIM_THRESHOLD:
         return _batched_tica(c0, ctau, reg, dim)
+    rows, cols = _tril_device_indices(d)
+    n_sub, k = c0.shape[0], min(dim, d)
+    packed_dev = _pack_tril_pair(c0, ctau, rows, cols)  # (S, 2, T)
+    # Pipeline the device->host transfer with the per-subspace solves:
+    # queue async D2H copies for every subspace group up front, then solve
+    # each group as it lands — the LAPACK time rides inside the transfer
+    # of the remaining groups (transfer is the bound: ~9 s for 191 MB at
+    # config-5 scale vs ~4 s of solves).
+    group = max(1, -(-n_sub // 8))
+    slices = [
+        packed_dev[i : i + group] for i in range(0, n_sub, group)
+    ]
+    for s in slices:
+        try:
+            s.copy_to_host_async()
+        except AttributeError:  # backend without async D2H: plain pull below
+            break
+    ws = np.empty((n_sub, k), np.float32)
+    vs = np.empty((n_sub, d, k), np.float32)
     t0 = time.time()
-    c0_h = np.asarray(c0)
-    ctau_h = np.asarray(ctau)
-    t_pull = time.time() - t0
-    t0 = time.time()
-    ws, vs = _scipy_batched_tica(c0_h, ctau_h, reg, dim)
+    t_solve = 0.0
+    mb = 0.0
+    for gi, s in enumerate(slices):
+        arr = np.asarray(s)
+        mb += arr.nbytes / 2**20
+        t1 = time.time()
+        w_g, v_g = _scipy_batched_tica_packed(arr, d, reg, dim)
+        t_solve += time.time() - t1
+        ws[gi * group : gi * group + arr.shape[0]] = w_g
+        vs[gi * group : gi * group + arr.shape[0]] = v_g
+    total = time.time() - t0
     logger.info(
-        "batched TICA solve (host top-%d of %d x %dx%d): pull %.2fs, "
-        "solve %.2fs", min(dim, d), c0.shape[0], d, d, t_pull,
-        time.time() - t0,
+        "batched TICA solve (host top-%d of %d x %dx%d): tril pull %.0f MB "
+        "+ solve pipelined %.2fs (solve %.2fs overlapped)",
+        k, n_sub, d, d, mb, total, t_solve,
     )
     return ws, vs
 

@@ -433,23 +433,21 @@ class PCACalculator(LinearCalculator):
         self._finish_pca(jnp.asarray(cov, jnp.float32))
 
     def _finish_pca(self, cov) -> None:
-        import contextlib
-
-        import jax
-
-        from deep_cartograph_tpu.cv.htica_stream import _eigh_device
-
-        # Large dense eigh routes to the host CPU (a D>256 eigh is
-        # milliseconds anywhere but its accelerator program is enormous to
-        # compile through a remote service — see htica_stream._eigh_device).
-        dev = _eigh_device(int(cov.shape[-1]))
-        ctx = (
-            jax.default_device(dev) if dev is not None
-            else contextlib.nullcontext()
+        from deep_cartograph_tpu.cv.htica_stream import (
+            _EIGH_HOST_DIM_THRESHOLD,
+            host_topk_eigh,
         )
-        with ctx:
-            if dev is not None:
-                cov = jnp.asarray(np.asarray(cov))
+
+        # Large dense eigh routes to the host (a D>256 eigh is milliseconds
+        # anywhere but its accelerator program is enormous to compile
+        # through a remote service — see htica_stream); the host solve
+        # goes straight to LAPACK's subset driver for the top
+        # cv_dimension pairs only.
+        if int(cov.shape[-1]) > _EIGH_HOST_DIM_THRESHOLD:
+            evals, evecs = host_topk_eigh(np.asarray(cov),
+                                          self.cv_dimension)
+            evals, evecs = jnp.asarray(evals), jnp.asarray(evecs)
+        else:
             evals, evecs = jnp.linalg.eigh(cov)
         # ascending -> take top cv_dimension, descending
         components = np.array(evecs[:, ::-1][:, : self.cv_dimension])
