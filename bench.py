@@ -593,7 +593,10 @@ def main() -> None:
                 "MFU is for the full featurize program (distances + "
                 "dihedral trig), f32 on MXU; the distance selector core "
                 "alone runs at ~91% of the f32-HIGHEST (bf16x6) MXU "
-                "ceiling when timed in isolation."
+                "ceiling when timed in isolation. PLUMED-export "
+                "validation remains interpreter-level only: no plumed "
+                "binary exists in this image (README 'Export "
+                "validation')."
             ),
         },
     }
