@@ -132,18 +132,22 @@ def _batched_tica(c0, ctau, reg: float, dim: int):
     return jax.vmap(solve)(ctau, c0)
 
 
-# Large dense eigensolves route to the host: the streaming covariance
-# accumulation (the scale-critical matmul work) stays on the accelerator,
-# but an eigh at D~1000 is O(D^3)=1e9 FLOPs — milliseconds anywhere — while
-# its accelerator program is enormous to compile (measured: 237 s remote
-# compile for ONE 1000x1000 eigh through this environment's compile
-# service, and the vmapped batch crashed the worker). Same decomposition
-# PLUMED-era tools use: big streaming reductions on the fast device, small
-# dense solves on the host. The host solve goes straight to LAPACK's
-# generalized subset driver (sygvx via scipy) for the TOP-k pairs only:
-# at BASELINE config-5 shape (50 x 1000 x 1000, k=2) that measures 4.2 s
-# on this host vs 24.4 s for the whitening+full-eigh program jitted on
-# the XLA CPU backend — the full spectrum is 998 discarded columns.
+# Large dense eigensolves cannot run as a device eigh: an eigh at D~1000
+# is O(D^3)=1e9 FLOPs — milliseconds anywhere — while its accelerator
+# program is enormous to compile (measured: 237 s remote compile for ONE
+# 1000x1000 eigh through this environment's compile service, and the
+# vmapped batch crashed the worker). Two replacements below, chosen by
+# _run_batched_tica:
+#   device Krylov (default for top-k << D): whitening + block-Krylov
+#     projection on the MXU (cholesky/trsm/matmul only — compiles in 11.5 s
+#     where eigh took 237 s), tiny (q x q) projected problem solved exactly
+#     on the host. Pulls ~2 MB; measured 0.5 s warm at config-5 level-1
+#     shape (50 x 1000 x 1000, k=5) vs 9.5 s for the host pull+solve.
+#   host LAPACK (fallback, and the wide-dim path): pull packed covariance
+#     triangles and run the generalized subset driver (sygvx) for the
+#     top-k pairs only — at config-5 shape that is 4.2 s of solves under a
+#     ~9 s transfer vs 24.4 s for whitening+full-eigh on the XLA CPU
+#     backend; the full spectrum is 998 discarded columns.
 _EIGH_HOST_DIM_THRESHOLD = 256
 
 
@@ -219,10 +223,143 @@ def host_topk_eigh(cov: np.ndarray, k: int):
     )
 
 
+@partial(jax.jit, static_argnames=("blk", "m"))
+def _krylov_project(c0, ctau, reg: float, blk: int, m: int):
+    """Device side of the top-k generalized eigensolve for LARGE subspaces:
+    project (Ctau, C0+reg I) onto a block-Krylov subspace so the host only
+    solves a tiny dense problem.
+
+    (S, D, D) x2 -> H (S, q, q), G (S, q, q), Q (S, D, q), L (S, D, D)
+    with q = blk * m. Steps, all batched over S on the MXU:
+
+      L = chol(C0 + reg I); M = L^{-1} Ctau L^{-T} (symmetrized) — the
+      whitened operator, whose eigenvalues are the generalized ones.
+      Q = [Z, MZ, M^2 Z, ...] block-Krylov basis from a fixed seeded start
+      (Krylov spaces are shift-invariant, so the indefinite spectrum needs
+      no shift estimate). Each new block is Gram-Schmidt-orthogonalized
+      against the accumulated basis twice and Cholesky-QR-normalized — for
+      CONDITIONING only: the host solves the projected problem in its
+      actual metric (H = Q^T M Q vs G = Q^T Q), so f32 orthonormality loss
+      cannot bias the eigenvalues.
+
+    Why this shape of work: the alternative is pulling both D x D
+    covariances to the host (packed triangles are 191 MB at config-5
+    scale, ~9 s through this tunnel) — here the pull is H+G, ~2 MB.
+    """
+    d = c0.shape[-1]
+    eye = jnp.eye(d, dtype=c0.dtype)
+    ell = jax.lax.linalg.cholesky(c0 + reg * eye)
+    # M = L^{-1} Ctau L^{-T}: two batched triangular solves
+    y = jax.lax.linalg.triangular_solve(
+        ell, ctau, left_side=True, lower=True
+    )
+    mw = jax.lax.linalg.triangular_solve(
+        ell, jnp.swapaxes(y, -1, -2), left_side=True, lower=True
+    )
+    mw = 0.5 * (mw + jnp.swapaxes(mw, -1, -2))
+
+    q_cols = blk * m
+    s = c0.shape[0]
+    z0 = jax.random.normal(
+        jax.random.PRNGKey(0), (s, d, blk), dtype=c0.dtype
+    )
+
+    def _chol_qr(w):
+        g = jnp.einsum("sdi,sdj->sij", w, w)
+        g = g + 1e-6 * jnp.trace(g, axis1=-2, axis2=-1)[:, None, None] \
+            * jnp.eye(blk, dtype=w.dtype) / blk
+        r = jax.lax.linalg.cholesky(g)
+        return jax.lax.linalg.triangular_solve(
+            r, w, left_side=False, lower=True, transpose_a=True
+        )
+
+    def body(j, carry):
+        basis, prev = carry
+        w = jnp.einsum("sde,sei->sdi", mw, prev)
+        for _ in range(2):  # twice-is-enough Gram-Schmidt vs the basis
+            coef = jnp.einsum("sdq,sdi->sqi", basis, w)
+            w = w - jnp.einsum("sdq,sqi->sdi", basis, coef)
+        w = _chol_qr(w)
+        basis = jax.lax.dynamic_update_slice(basis, w, (0, 0, j * blk))
+        return basis, w
+
+    z0 = _chol_qr(z0)
+    basis0 = jnp.zeros((s, d, q_cols), c0.dtype)
+    basis0 = jax.lax.dynamic_update_slice(basis0, z0, (0, 0, 0))
+    basis, _ = jax.lax.fori_loop(1, m, body, (basis0, z0))
+
+    mq = jnp.einsum("sde,seq->sdq", mw, basis)
+    h = jnp.einsum("sdp,sdq->spq", basis, mq)
+    g = jnp.einsum("sdp,sdq->spq", basis, basis)
+    return 0.5 * (h + jnp.swapaxes(h, -1, -2)), \
+        0.5 * (g + jnp.swapaxes(g, -1, -2)), basis, ell
+
+
+@jax.jit
+def _krylov_assemble(basis, ell, u):
+    """V = L^{-T} (Q U): lift the host-solved projected eigenvectors back
+    to the original coordinates. U^T G U = I on the host side guarantees
+    V^T (C0 + reg I) V = I — the same B-metric normalization as the dense
+    and LAPACK paths."""
+    qu = jnp.einsum("sdq,sqk->sdk", basis, u)
+    return jax.lax.linalg.triangular_solve(
+        ell, qu, left_side=True, lower=True, transpose_a=True
+    )
+
+
+def _device_krylov_tica(c0, ctau, reg: float, dim: int):
+    """Top-`dim` generalized eigenpairs of (Ctau, C0 + reg I) with the
+    heavy work on the accelerator and only O(q^2) bytes on the wire."""
+    import scipy.linalg as sla
+
+    d = int(c0.shape[-1])
+    blk = max(dim + 3, 8)
+    # Krylov DEPTH m sets the polynomial degree (the convergence lever for
+    # clustered slow modes); width blk only needs to cover degeneracy.
+    # Measured on AR-like spectra at D=1000: m=8 leaves ~1e-3 low bias on
+    # the Ritz values, m=16 converges to the f32 floor.
+    q_cols = min(d, max(16 * dim, 128))
+    m = max(2, -(-q_cols // blk))
+    t0 = time.time()
+    h, g, basis, ell = _krylov_project(c0, ctau, reg, blk, m)
+    h_h = np.asarray(h, np.float64)
+    g_h = np.asarray(g, np.float64)
+    t_dev = time.time() - t0
+    n_sub, q = h_h.shape[0], h_h.shape[-1]
+    ws = np.empty((n_sub, dim), np.float32)
+    us = np.empty((n_sub, q, dim), np.float32)
+    t0 = time.time()
+    ridge = 1e-10 * np.eye(q)
+    for s in range(n_sub):
+        # tiny ridge: if the Krylov space saturated early (low-rank
+        # operator), G is near-singular and LAPACK's Cholesky would fail
+        w, v = sla.eigh(
+            h_h[s], g_h[s] + np.trace(g_h[s]) * ridge, check_finite=False
+        )
+        ws[s] = w[-dim:][::-1]
+        us[s] = v[:, -dim:][:, ::-1]
+    t_small = time.time() - t0
+    vs = np.asarray(_krylov_assemble(basis, ell, jnp.asarray(us)))
+    logger.info(
+        "batched TICA solve (device Krylov top-%d of %d x %dx%d, q=%d): "
+        "project+pull %.2fs, host %dx%d solves %.2fs",
+        dim, n_sub, d, d, q, t_dev, q, q, t_small,
+    )
+    return ws, vs
+
+
 def _run_batched_tica(c0, ctau, reg: float, dim: int):
+    import os
+
     d = c0.shape[-1]
     if d <= _EIGH_HOST_DIM_THRESHOLD:
         return _batched_tica(c0, ctau, reg, dim)
+    solver = os.environ.get("DC_HTICA_SOLVER", "auto")
+    # auto: the Krylov projection is exact to f32 when the subspace is a
+    # healthy multiple of the wanted pairs; very large `dim` degenerates
+    # toward a full solve, where LAPACK on the packed pull wins.
+    if solver == "device" or (solver == "auto" and 8 * dim <= d):
+        return _device_krylov_tica(c0, ctau, reg, dim)
     rows, cols = _tril_device_indices(d)
     n_sub, k = c0.shape[0], min(dim, d)
     packed_dev = _pack_tril_pair(c0, ctau, rows, cols)  # (S, 2, T)

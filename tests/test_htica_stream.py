@@ -309,3 +309,123 @@ def test_host_scipy_solver_matches_device_path():
         b_reg = c0[s] + reg * np.eye(d, dtype=np.float32)
         norms = np.einsum("dk,de,ek->k", v_host[s], b_reg, v_host[s])
         np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def _tica_like_covs(rng, n_sub, d, n=3000, slow=6):
+    """AR(1)-style covariances with a handful of slow modes near 1 over a
+    noise bulk — the spectrum shape real TICA level-1 problems have."""
+    c0 = np.empty((n_sub, d, d), np.float32)
+    ctau = np.empty_like(c0)
+    for s in range(n_sub):
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        for k in range(slow):
+            v = np.cumsum(rng.standard_normal(n)).astype(np.float32)
+            v -= v.mean()
+            v /= v.std() + 1e-9
+            x[:, k] = 0.9 * v + 0.1 * x[:, k]
+        a = x[:-1] - x[:-1].mean(0)
+        b = x[1:] - x[:-1].mean(0)
+        c0[s] = a.T @ a / len(a)
+        ctau[s] = (a.T @ b + b.T @ a) / (2 * len(a))
+    return c0, ctau
+
+
+def test_device_krylov_solver_matches_lapack(monkeypatch):
+    """The device block-Krylov top-k solver (the default above
+    _EIGH_HOST_DIM_THRESHOLD when few pairs are wanted — it pulls ~2 MB of
+    projected matrices instead of the packed covariance triangles) must
+    match the LAPACK sygvx subset path: eigenvalues to the f32 floor,
+    eigenvectors up to sign, B-metric normalized."""
+    import jax.numpy as jnp
+
+    from deep_cartograph_tpu.cv.htica_stream import (
+        _device_krylov_tica,
+        _scipy_batched_tica_packed,
+        _run_batched_tica,
+    )
+
+    rng = np.random.default_rng(7)
+    n_sub, d, k, reg = 3, 320, 4, 1e-6
+    c0, ctau = _tica_like_covs(rng, n_sub, d)
+
+    w_k, v_k = _device_krylov_tica(jnp.asarray(c0), jnp.asarray(ctau),
+                                   reg, k)
+    rows, cols = np.tril_indices(d)
+    packed = np.stack(
+        [c0[:, rows, cols], ctau[:, rows, cols]], axis=1
+    )
+    w_l, v_l = _scipy_batched_tica_packed(packed, d, reg, k)
+
+    np.testing.assert_allclose(w_k, w_l, atol=1e-4)
+    for s in range(n_sub):
+        for c in range(k):
+            agree = np.abs(v_k[s, :, c] - v_l[s, :, c]).max()
+            flip = np.abs(v_k[s, :, c] + v_l[s, :, c]).max()
+            assert min(agree, flip) < 5e-3, (s, c, agree, flip)
+        b_reg = c0[s] + reg * np.eye(d, dtype=np.float32)
+        norms = np.einsum("dk,de,ek->k", v_k[s], b_reg, v_k[s])
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+    # the auto gate routes to the Krylov path for small k / large d and
+    # honors the DC_HTICA_SOLVER override
+    monkeypatch.setenv("DC_HTICA_SOLVER", "host")
+    w_h, _ = _run_batched_tica(jnp.asarray(c0), jnp.asarray(ctau), reg, k)
+    monkeypatch.setenv("DC_HTICA_SOLVER", "device")
+    w_d, _ = _run_batched_tica(jnp.asarray(c0), jnp.asarray(ctau), reg, k)
+    np.testing.assert_allclose(w_h, w_d, atol=1e-4)
+
+
+def test_device_krylov_auto_gate_falls_back_for_wide_dim(monkeypatch):
+    """auto routes to the host LAPACK path when the wanted pair count is a
+    large fraction of the subspace (the Krylov projection degenerates
+    toward a full solve there)."""
+    import jax.numpy as jnp
+
+    from deep_cartograph_tpu.cv import htica_stream as hs
+
+    rng = np.random.default_rng(8)
+    n_sub, d, reg = 2, 280, 1e-6
+    c0, ctau = _tica_like_covs(rng, n_sub, d)
+    calls = {"krylov": 0}
+    orig = hs._device_krylov_tica
+
+    def spy(*a, **kw):
+        calls["krylov"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(hs, "_device_krylov_tica", spy)
+    monkeypatch.setenv("DC_HTICA_SOLVER", "auto")
+    hs._run_batched_tica(jnp.asarray(c0), jnp.asarray(ctau), reg, 100)
+    assert calls["krylov"] == 0  # 8 * 100 > 280 -> host
+    hs._run_batched_tica(jnp.asarray(c0), jnp.asarray(ctau), reg, 4)
+    assert calls["krylov"] == 1
+
+
+def test_device_krylov_solver_accepts_sharded_covariances():
+    """The Krylov projection must execute on covariances sharded along the
+    subspace axis (the multi-chip level-1 layout: every batched op in the
+    projection partitions along S with no cross-device communication)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deep_cartograph_tpu.cv import htica_stream as hs
+    from deep_cartograph_tpu.parallel.mesh import get_mesh
+
+    rng = np.random.default_rng(9)
+    n_sub, d, dim, reg = 8, 280, 3, 1e-6
+    c0, ctau = _tica_like_covs(rng, n_sub, d, n=1500)
+    mesh = get_mesh()
+    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    c0_s = jax.device_put(jnp.asarray(c0), sh)
+    ctau_s = jax.device_put(jnp.asarray(ctau), sh)
+
+    w_s, v_s = hs._device_krylov_tica(c0_s, ctau_s, reg, dim)
+    w_r, v_r = hs._device_krylov_tica(jnp.asarray(c0), jnp.asarray(ctau),
+                                      reg, dim)
+    np.testing.assert_allclose(w_s, w_r, atol=1e-5)
+    for s in range(n_sub):
+        for c in range(dim):
+            agree = np.abs(v_s[s, :, c] - v_r[s, :, c]).max()
+            flip = np.abs(v_s[s, :, c] + v_r[s, :, c]).max()
+            assert min(agree, flip) < 1e-3, (s, c, agree, flip)
