@@ -178,13 +178,20 @@ class Featurizer:
         traj_stride: int = 1,
         frame_chunk: int = 2048,
         timeout: Optional[float] = None,
+        upload: str = "auto",
     ) -> np.ndarray:
         """Stream a trajectory through the device in fixed-shape chunks.
 
         Returns the (n_frames, n_features) matrix (nm / radians). `timeout`
         (seconds) bounds the wall clock like the reference's PLUMED
-        subprocess timeout (cf. reference cli.py:89).
+        subprocess timeout (cf. reference cli.py:89). `upload` picks the
+        host->device transport: "float32" (exact), "int16" (fixed-point,
+        half the bytes, XTC-precision-class — io/upload.py), or "auto"
+        (DC_TPU_UPLOAD env, default float32).
         """
+        from deep_cartograph_tpu.io.upload import resolve_upload_mode
+
+        upload_mode = resolve_upload_mode(upload)
         chunk = auto_chunk_size(
             frame_chunk, self.topology.n_atoms, self.plan.n_features
         )
@@ -210,7 +217,10 @@ class Featurizer:
                 block = np.concatenate([block, pad], axis=0)
             # Async dispatch: keep device arrays so host decode of the next
             # chunk overlaps device compute; download once at the end.
-            outputs.append((evaluator.eval_raw(block), n))
+            if upload_mode == "int16":
+                outputs.append((_eval_quantized(evaluator, block), n))
+            else:
+                outputs.append((evaluator.eval_raw(block), n))
         result = np.concatenate(
             [np.asarray(out)[:n] for out, n in outputs], axis=0
         )
@@ -390,6 +400,31 @@ class Featurizer:
         inner = ev.inner if isinstance(ev, ShardedChunkEvaluator) else ev
         out = inner.eval_raw(frames_d)
         return out, n
+
+
+def _eval_quantized(evaluator, block: np.ndarray):
+    """Featurize a chunk via int16 fixed-point upload (io/upload.py):
+    quantize on host, send 2 bytes/coordinate, dequantize on device, then
+    run the plan program on the device-resident float32 coords. Halves
+    the host->device bytes of the streaming loop — the wall-clock
+    bottleneck on bandwidth-starved links."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_cartograph_tpu.io.upload import dequant_fn, quantize_coords
+
+    q, scale, offset = quantize_coords(block)
+    dq = dequant_fn()
+    if isinstance(evaluator, ShardedChunkEvaluator):
+        from deep_cartograph_tpu.parallel.mesh import pad_to_multiple
+
+        padded, n = pad_to_multiple(q, evaluator.n_devices)
+        qd = jax.device_put(padded, evaluator._sharding)
+        coords = dq(qd, jnp.asarray(scale), jnp.asarray(offset))
+        out = evaluator.inner.eval_raw(coords)
+        return out if out.shape[0] == n else out[:n]
+    coords = dq(jnp.asarray(q), jnp.asarray(scale), jnp.asarray(offset))
+    return evaluator.eval_raw(coords)
 
 
 class ShardedChunkEvaluator:
