@@ -64,6 +64,13 @@ SOURCE = os.environ.get("CFG5_SOURCE", "disk")
 RESIDENCY = os.environ.get(
     "CFG5_RESIDENCY", "fused" if SOURCE == "disk" else "standalone"
 )
+# Transport dtype for the fused residency pass: int16 fixed point
+# (io/upload.py — XTC's 1e-3 A precision class, half the bytes over the
+# link that dominates the stage) or float32 (exact). The artifact records
+# the realized quantization step and a featurize parity number.
+UPLOAD_DTYPE = os.environ.get("CFG5_UPLOAD_DTYPE", "int16")
+if UPLOAD_DTYPE not in ("int16", "float32"):
+    raise SystemExit(f"CFG5_UPLOAD_DTYPE must be int16|float32, got {UPLOAD_DTYPE}")
 # HTICA covariance passes: "eager" re-streams blocks through the block
 # iterator (decode+upload per pass under SOURCE=disk); "chunked" featurizes
 # the RESIDENT coords buffer inside K-block fori_loop dispatches
@@ -392,28 +399,90 @@ def main() -> None:
     # dynamic_update_slice program per block (the incremental-assembly
     # shape probe_concat.py validates on this tunnel). Decode+upload is
     # paid once, here; every later stage featurizes from residency.
+    #
+    # UPLOAD_DTYPE=int16 (default) ships each decoded block as fixed-point
+    # int16 (io/upload.py — the XTC precision class the reference's own
+    # trajectory transport uses) and fuses dequant + residency update +
+    # featurize + moments accumulation into ONE device program per block:
+    # half the bytes over the link that dominates this stage, and 3
+    # dispatches/block collapse to 1. float32 keeps the exact transport.
     if coords_buf is None:
-        upd = jax.jit(
-            lambda b, p, st: jax.lax.dynamic_update_slice(b, p, (st, 0, 0)),
-            donate_argnums=0,
-        )
         asm_buf = jax.jit(
             lambda: jnp.zeros((N_FRAMES, N_ATOMS, 3), jnp.float32)
         )()
+        if UPLOAD_DTYPE == "int16":
+            from deep_cartograph_tpu.io.upload import (
+                quantization_step,
+                quantize_coords,
+            )
 
-        def moments_iter():
-            nonlocal asm_buf
-            for k, block in enumerate(
-                iter_frame_chunks(dcd_path, BLOCK, pdb_path)
-            ):
-                dev_block = jnp.asarray(block)
-                if k % 4 == 3:
-                    float(dev_block[0, 0, 0])
-                asm_buf = upd(asm_buf, dev_block, jnp.int32(k * BLOCK))
-                yield evaluator.eval_raw(dev_block)
+            feat_fn_m, plan_args_m = evaluator.device_fn_args()
+
+            def _fused_q(buf, state, q, scale, offset, start, *plan_a):
+                coords = q.astype(jnp.float32) * scale + offset
+                buf = jax.lax.dynamic_update_slice(
+                    buf, coords, (start, 0, 0)
+                )
+                x = feat_fn_m(coords, *plan_a)
+                s, s2, mn_, mx_ = state
+                return buf, (
+                    s + jnp.sum(x, 0),
+                    s2 + jnp.sum(x * x, 0),
+                    jnp.minimum(mn_, jnp.min(x, 0)),
+                    jnp.maximum(mx_, jnp.max(x, 0)),
+                )
+
+            fused_q = jax.jit(_fused_q, donate_argnums=(0, 1))
+
+            def run_moments_pass(state):
+                nonlocal asm_buf
+                qstep = 0.0
+                for k, block in enumerate(
+                    iter_frame_chunks(dcd_path, BLOCK, pdb_path)
+                ):
+                    q, scale, offset = quantize_coords(block)
+                    qstep = max(qstep, quantization_step(scale))
+                    qd = jnp.asarray(q)
+                    if k % 4 == 3:
+                        int(qd[0, 0, 0])
+                    asm_buf, state = fused_q(
+                        asm_buf,
+                        state,
+                        qd,
+                        jnp.asarray(scale),
+                        jnp.asarray(offset),
+                        jnp.int32(k * BLOCK),
+                        *plan_args_m,
+                    )
+                stages["quantization_step_A"] = round(qstep, 6)
+                return state
+
+        else:
+            upd = jax.jit(
+                lambda b, p, st: jax.lax.dynamic_update_slice(
+                    b, p, (st, 0, 0)
+                ),
+                donate_argnums=0,
+            )
+
+            def run_moments_pass(state):
+                nonlocal asm_buf
+                for k, block in enumerate(
+                    iter_frame_chunks(dcd_path, BLOCK, pdb_path)
+                ):
+                    dev_block = jnp.asarray(block)
+                    if k % 4 == 3:
+                        float(dev_block[0, 0, 0])
+                    asm_buf = upd(asm_buf, dev_block, jnp.int32(k * BLOCK))
+                    state = moments_acc(state, evaluator.eval_raw(dev_block))
+                return state
 
     else:
-        moments_iter = block_iter
+
+        def run_moments_pass(state):
+            for blk in block_iter():
+                state = moments_acc(state, blk)
+            return state
 
     t0 = time.time()
     state = (
@@ -422,9 +491,7 @@ def main() -> None:
         jnp.full(N_FEATURES, np.inf, jnp.float32),
         jnp.full(N_FEATURES, -np.inf, jnp.float32),
     )
-    for blk in moments_iter():
-        state = moments_acc(state, blk)
-    del blk
+    state = run_moments_pass(state)
     if coords_buf is None:
         coords_buf = asm_buf
         float(coords_buf[0, 0, 0])
@@ -435,6 +502,21 @@ def main() -> None:
     std_h = np.asarray(std)
     del state, s, s2, std
     stages["filter_pass_moments_s"] = round(time.time() - t0, 2)
+    stages["upload_dtype"] = UPLOAD_DTYPE if RESIDENCY == "fused" else "float32"
+    if UPLOAD_DTYPE == "int16" and RESIDENCY == "fused" and SOURCE == "disk":
+        # Transport parity, recorded per run: featurize block 0 from the
+        # (dequantized) resident buffer vs an exact float32 upload of the
+        # same decoded block. Bounds what fixed-point transport does to
+        # every downstream stage's inputs.
+        exact_block = next(iter_frame_chunks(dcd_path, BLOCK, pdb_path))
+        f_exact = evaluator.eval_raw(jnp.asarray(exact_block))
+        f_q = evaluator.eval_raw(coords_buf[:BLOCK])
+        parity = float(jnp.max(jnp.abs(f_exact - f_q)))
+        del exact_block, f_exact, f_q
+        stages["int16_feature_parity_max"] = round(parity, 8)
+        _log(f"int16 transport parity: max feature delta {parity:.2e} "
+             f"(step {stages.get('quantization_step_A', 0)} A)")
+        assert parity < 5e-3, parity
     _hbm("after_moments")
 
     def _entropy_update(counts, x, mn, mx):
@@ -780,6 +862,8 @@ def main() -> None:
         # one-time training-program build (compile or cache load); the
         # warm deep_tica_train_s counts, the build lands in cold_total
         "deep_tica_train_cold_s",
+        # transport diagnostics, not timings
+        "upload_dtype", "quantization_step_A", "int16_feature_parity_max",
     )
     total = sum(v for k, v in stages.items() if k not in excluded)
     # cold_total = a first-ever run: warm total + every one-time build
