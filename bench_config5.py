@@ -378,6 +378,23 @@ def main() -> None:
     float(first[0, 0])
     stages["featurize_compile_s"] = round(time.time() - t0, 2)
     _log(f"featurize compile+first block {stages['featurize_compile_s']}s")
+
+    # Link probe (untimed): the tunnel's bandwidth swings 2-3x day to day,
+    # and the decode-inclusive moments row rides it — probing one block's
+    # f32 payload alongside each run makes a slow-moments artifact
+    # self-diagnosing (same rationale as bench.py's link_probe_MBps).
+    probe = np.zeros((BLOCK, N_ATOMS, 3), np.float32)
+    probe_mb = probe.nbytes / 2**20
+    link = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        p = jax.device_put(probe)
+        p.block_until_ready()
+        link = max(link, probe_mb / (time.time() - t0))
+        del p
+    del probe
+    stages["link_probe_MBps"] = round(link, 1)
+    _log(f"link probe {link:.1f} MB/s ({probe_mb:.0f} MB block)")
     del first  # (BLOCK, 50k) f32 = 500 MB — do not keep it resident
     _hbm("after_compile")
 
@@ -864,6 +881,7 @@ def main() -> None:
         "deep_tica_train_cold_s",
         # transport diagnostics, not timings
         "upload_dtype", "quantization_step_A", "int16_feature_parity_max",
+        "link_probe_MBps",
     )
     total = sum(v for k, v in stages.items() if k not in excluded)
     # cold_total = a first-ever run: warm total + every one-time build
