@@ -776,11 +776,16 @@ def main() -> None:
         options={"activation": ["tanh", "tanh", None], "dropout": [],
                  "batchnorm": []},
     )
-    params = net.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
-        jnp.zeros((2, K), jnp.float32),
-        train=False,
-    )["params"]
+    def _params_for(seed: int):
+        p = net.init(
+            {
+                "params": jax.random.PRNGKey(seed),
+                "dropout": jax.random.PRNGKey(seed),
+            },
+            jnp.zeros((2, K), jnp.float32),
+            train=False,
+        )["params"]
+        return jax.tree.map(lambda a: a[None], p)
 
     class RematNet:
         """coords (B, A, 3) -> features (B, K) -> net, inside the jitted
@@ -815,12 +820,11 @@ def main() -> None:
     n_pairs = N_FRAMES - LAG
     train_idx = np.arange(n_pairs, dtype=np.int32)[None]
     valid_idx = np.arange(n_pairs - BATCH, n_pairs, dtype=np.int32)[None]
-    params_stack = jax.tree.map(lambda a: a[None], params)
 
-    def _fit():
+    def _fit(seed: int):
         return _retry_re(
             lambda: trainer.fit_ensemble(
-                params_stack, full, train_idx, valid_idx, [0],
+                _params_for(seed), full, train_idx, valid_idx, [seed],
                 index_offsets={"data_lag": LAG},
             )[0],
             "deep-TICA training",
@@ -832,14 +836,21 @@ def main() -> None:
     # cache HIT); the second fit times the program itself (~2.6 s for 5
     # epochs). Warm counts toward the pipeline total, cold is recorded —
     # in production the executable is built once and reused across CVs,
-    # seeds, and restarts.
+    # seeds, and restarts. The two fits run DIFFERENT seeds (init +
+    # shuffle), i.e. two genuine tries in the reference's num_tries sense
+    # (reference default is 10, cv_calculator.py:1096): a 5-epoch
+    # single-seed run of this loss is chaotic (observed -1.96 vs -1.30
+    # from a 1-ulp feature perturbation), so the artifact records every
+    # try's loss and scores the best, exactly like the tool path.
     t0 = time.time()
-    result = _fit()
+    result0 = _fit(0)
     stages["deep_tica_train_cold_s"] = round(time.time() - t0, 2)
     t0 = time.time()
-    result = _fit()
-    deep_loss = float(result.score)
+    result1 = _fit(1)
+    losses = sorted([float(result0.score), float(result1.score)])
+    deep_loss = losses[0]
     stages["deep_tica_train_s"] = round(time.time() - t0, 2)
+    result = result1 if float(result1.score) <= float(result0.score) else result0
     _log(f"deep-TICA {EPOCHS} epochs {stages['deep_tica_train_s']}s warm / "
          f"{stages['deep_tica_train_cold_s']}s cold "
          f"(loss {deep_loss:.4f})")
@@ -960,6 +971,7 @@ def main() -> None:
             ),
             "deep_tica_epochs": EPOCHS,
             "deep_tica_loss": round(deep_loss, 4),
+            "deep_tica_loss_tries": [round(v, 4) for v in losses],
             "htica_top_eigenvalues": [
                 round(float(v), 5) for v in sh.eigenvalues_
             ],
