@@ -56,7 +56,9 @@ V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (MFU denominator)
 # upload bytes over the link that dominates the leg (io/upload.py — the
 # XTC 1e-3 A precision class the reference's own trajectory files use);
 # float32 is exact. The artifact records the dtype and the realized
-# max feature delta vs exact transport, asserted < 5e-3.
+# max feature delta vs exact transport, asserted < 2.5e-2 (dihedral
+# sin/cos amplify the coordinate step ~100x near degenerate quads; see
+# the parity block below for the downstream-invariance evidence).
 UPLOAD_DTYPE = os.environ.get("BENCH_UPLOAD_DTYPE", "int16")
 if UPLOAD_DTYPE not in ("int16", "float32"):
     raise SystemExit(f"BENCH_UPLOAD_DTYPE must be int16|float32: {UPLOAD_DTYPE}")
