@@ -500,14 +500,27 @@ def main() -> None:
         cpu = None
     xla_cpu_featurize_s = None
     if cpu is not None and cpu != dev:
-        with jax.default_device(cpu):
-            cpu_eval = PlanEvaluator(plan, device=cpu)
-            cpu_fn = cpu_eval.device_fn()
-            sub = jnp.asarray(coords[:CHUNK])
-            _sync(cpu_fn(sub))  # compile
-            t0 = time.time()
-            _sync(cpu_fn(sub))
-            xla_cpu_featurize_s = (time.time() - t0) * (N_FRAMES / CHUNK)
+        # XLA:CPU AOT cache entries bake in host machine features; an entry
+        # compiled on a different host risks SIGILL on load (cpu_aot_loader
+        # machine-feature mismatch). Compile this leg fresh, cache disabled.
+        try:
+            jax.config.update("jax_enable_compilation_cache", False)
+        except AttributeError:
+            pass
+        try:
+            with jax.default_device(cpu):
+                cpu_eval = PlanEvaluator(plan, device=cpu)
+                cpu_fn = cpu_eval.device_fn()
+                sub = jnp.asarray(coords[:CHUNK])
+                _sync(cpu_fn(sub))  # compile
+                t0 = time.time()
+                _sync(cpu_fn(sub))
+                xla_cpu_featurize_s = (time.time() - t0) * (N_FRAMES / CHUNK)
+        finally:
+            try:
+                jax.config.update("jax_enable_compilation_cache", True)
+            except AttributeError:
+                pass
 
     # ---- reference-style CPU pipeline (subsets, scaled) ----
     ii, jj = np.triu_indices(N_ATOMS, k=2)
