@@ -26,6 +26,14 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 import os as _os
 
 _cache_dir = _os.environ.get("DEEP_CARTO_COMPILE_CACHE")
+# XLA:CPU AOT cache entries embed compile-option pseudo-features
+# (+prefer-no-scatter/-gather) that the loader compares against real host
+# CPU features, logging machine-mismatch errors (and a nominal SIGILL risk)
+# on every load. CPU programs here are small and recompile in seconds, so
+# pure-CPU processes (tests, examples, dryrun children) skip the persistent
+# cache; the cache's payoff is the minutes-long remote TPU compiles.
+if not _cache_dir and _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    _cache_dir = "0"
 if _cache_dir != "0":
     if not _cache_dir:
         _cache_dir = _os.path.join(
